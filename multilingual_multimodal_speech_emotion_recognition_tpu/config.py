@@ -1,0 +1,118 @@
+"""Configuration tree for the whole framework.
+
+One dataclass tree (model/data/train/eval/mesh) serialized into every
+checkpoint, replacing the reference's scattered per-script argparse flags
+and hard-coded hyperparameters (SURVEY.md §5.6). CLI flag names preserve
+reference semantics (/root/reference/src/train.py:27-39, eval.py:71-79).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Tuple
+
+from .models.wav2vec2 import Wav2Vec2Config
+from .models.xlmr import XLMRConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    num_labels: int = 4                 # train.py:19 (CREMA scripts use 6)
+    adapter_dim: int = 256              # audio_encoder.py:19-21
+    shared_dim: int = 256               # cross_attention shared space
+    num_heads: int = 8
+    proj_dim: int = 512                 # fusion output dim
+    classifier_layers: int = 35
+    classifier_base_dim: int = 512
+    classifier_dropout: float = 0.15    # train.py:68
+    cross_dropout: float = 0.1
+    use_quality_gates: bool = True      # audio_encoder.py:9-11 defaults
+    use_audio_conditioning: bool = True
+    use_asr: bool = False               # text_encoder.py:8 default
+    audio: Wav2Vec2Config = dataclasses.field(default_factory=Wav2Vec2Config)
+    text: XLMRConfig = dataclasses.field(default_factory=XLMRConfig)
+    compute_dtype: str = "float32"      # "bfloat16" on TPU hot path
+    remat_encoders: bool = True
+
+    @property
+    def audio_hidden(self) -> int:
+        return self.audio.hidden_size
+
+    @property
+    def text_hidden(self) -> int:
+        return self.text.hidden_size
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    sample_rate: int = 16000
+    max_audio_seconds: float = 30.0     # preprocess.py:30-32
+    min_audio_seconds: float = 0.5      # preprocess.py:35-39
+    max_text_tokens: int = 64
+    audio_buckets: Tuple[float, ...] = (2.0, 4.0, 8.0, 16.0, 30.0)
+    dataset_root: str = "datasets"      # preprocess.py:10-12 path prefix
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    epochs: int = 5
+    batch_size: int = 4
+    lr: float = 1e-4
+    warmup_ratio: float = 0.1
+    augment: bool = False
+    proto_weight: float = 0.05
+    save_dir: str = "checkpoints"
+    resume_from: Optional[str] = None
+    grad_clip: Optional[float] = None   # train_crema.py uses 1.0
+    seed: int = 0
+    # loss mix (train.py:151-168)
+    focal_weight: float = 0.3
+    anchor_weight: float = 0.1
+    uncertainty_weight: float = 0.05
+    proto_term_weight: float = 0.01
+    supcon_weight: float = 0.0          # defined but disabled in reference
+    label_smoothing: float = 0.1
+    scheduler: str = "warmup_cosine"    # or "cosine_restarts" (train_crema.py:45-69)
+    restart_period_epochs: int = 3
+    early_stop_patience: Optional[int] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    data_axis: int = -1                 # -1: all devices on data axis
+    model_axis: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+
+
+def to_json(cfg) -> str:
+    return json.dumps(dataclasses.asdict(cfg), indent=2)
+
+
+def _from_dict(cls, d: dict):
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    kwargs = {}
+    for k, v in d.items():
+        if k not in fields:
+            continue
+        ft = fields[k].type
+        if isinstance(v, dict):
+            sub = {"model": ModelConfig, "data": DataConfig, "train": TrainConfig,
+                   "mesh": MeshConfig, "audio": Wav2Vec2Config, "text": XLMRConfig}.get(k)
+            kwargs[k] = _from_dict(sub, v) if sub else v
+        elif isinstance(v, list):
+            kwargs[k] = tuple(v)
+        else:
+            kwargs[k] = v
+    return cls(**kwargs)
+
+
+def from_json(s: str) -> Config:
+    return _from_dict(Config, json.loads(s))

@@ -1,0 +1,151 @@
+"""HuggingFace -> JAX parameter conversion.
+
+Converts torch state_dicts of `Wav2Vec2Model` and `XLMRobertaModel`/
+`RobertaModel` into the pytrees consumed by wav2vec2.py / xlmr.py. This is
+the capability the reference gets from `from_pretrained`
+(/root/reference/src/models/audio_encoder.py:13-14, text_encoder.py:11-12):
+loading the frozen pretrained backbones. Works from either a live torch
+module's state_dict or a dict of numpy arrays.
+
+Backbone swaps (WavLM-Large / HuBERT-Large use the same conv+transformer
+skeleton with `feat_extract_norm="layer"` variants) reuse these mappings —
+see BASELINE.json config matrix.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import numpy as np
+import jax.numpy as jnp
+
+Array = np.ndarray
+
+
+def _np(x) -> np.ndarray:
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x, dtype=np.float32)
+
+
+def _lin(sd: Mapping, prefix: str) -> dict:
+    p = {"kernel": jnp.asarray(_np(sd[f"{prefix}.weight"]).T)}
+    if f"{prefix}.bias" in sd:
+        p["bias"] = jnp.asarray(_np(sd[f"{prefix}.bias"]))
+    return p
+
+
+def _ln(sd: Mapping, prefix: str) -> dict:
+    return {"scale": jnp.asarray(_np(sd[f"{prefix}.weight"])),
+            "bias": jnp.asarray(_np(sd[f"{prefix}.bias"]))}
+
+
+def _conv(sd: Mapping, prefix: str) -> dict:
+    # torch Conv1d weight [out, in/groups, k] -> lax 'WIO' [k, in/groups, out]
+    p = {"kernel": jnp.asarray(_np(sd[f"{prefix}.weight"]).transpose(2, 1, 0))}
+    if f"{prefix}.bias" in sd:
+        p["bias"] = jnp.asarray(_np(sd[f"{prefix}.bias"]))
+    return p
+
+
+def _pos_conv_weight(sd: Mapping, prefix: str) -> np.ndarray:
+    """Materialize the weight-normed positional conv weight (dim=2)."""
+    if f"{prefix}.weight" in sd:
+        return _np(sd[f"{prefix}.weight"])
+    if f"{prefix}.parametrizations.weight.original0" in sd:
+        g = _np(sd[f"{prefix}.parametrizations.weight.original0"])
+        v = _np(sd[f"{prefix}.parametrizations.weight.original1"])
+    else:
+        g = _np(sd[f"{prefix}.weight_g"])
+        v = _np(sd[f"{prefix}.weight_v"])
+    norm = np.sqrt((v * v).sum(axis=(0, 1), keepdims=True))
+    return g * v / np.maximum(norm, 1e-12)
+
+
+def _count(sd: Mapping, pattern: str) -> int:
+    i = 0
+    while pattern.format(i) in sd:
+        i += 1
+    return i
+
+
+def wav2vec2_from_hf(state_dict: Mapping, num_layers: int | None = None,
+                     num_convs: int | None = None) -> dict:
+    sd = dict(state_dict)
+    if num_convs is None:
+        num_convs = _count(sd, "feature_extractor.conv_layers.{}.conv.weight")
+    if num_layers is None:
+        num_layers = _count(sd, "encoder.layers.{}.final_layer_norm.weight")
+
+    convs = [_conv(sd, f"feature_extractor.conv_layers.{i}.conv")
+             for i in range(num_convs)]
+
+    pos_w = _pos_conv_weight(sd, "encoder.pos_conv_embed.conv")
+    pos_conv = {"kernel": jnp.asarray(pos_w.transpose(2, 1, 0)),
+                "bias": jnp.asarray(_np(sd["encoder.pos_conv_embed.conv.bias"]))}
+
+    def layer(i):
+        pre = f"encoder.layers.{i}"
+        return {
+            "q": _lin(sd, f"{pre}.attention.q_proj"),
+            "k": _lin(sd, f"{pre}.attention.k_proj"),
+            "v": _lin(sd, f"{pre}.attention.v_proj"),
+            "out": _lin(sd, f"{pre}.attention.out_proj"),
+            "attn_ln": _ln(sd, f"{pre}.layer_norm"),
+            "ffn_in": _lin(sd, f"{pre}.feed_forward.intermediate_dense"),
+            "ffn_out": _lin(sd, f"{pre}.feed_forward.output_dense"),
+            "final_ln": _ln(sd, f"{pre}.final_layer_norm"),
+        }
+
+    import jax
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
+                           *[layer(i) for i in range(num_layers)])
+
+    params = {
+        "convs": convs,
+        "group_norm": _ln(sd, "feature_extractor.conv_layers.0.layer_norm"),
+        "feat_proj": {
+            "ln": _ln(sd, "feature_projection.layer_norm"),
+            "proj": _lin(sd, "feature_projection.projection"),
+        },
+        "pos_conv": pos_conv,
+        "encoder_ln": _ln(sd, "encoder.layer_norm"),
+        "layers": stacked,
+    }
+    if "masked_spec_embed" in sd:
+        params["masked_spec_embed"] = jnp.asarray(_np(sd["masked_spec_embed"]))
+    else:
+        params["masked_spec_embed"] = jnp.zeros(
+            (params["feat_proj"]["proj"]["kernel"].shape[1],), jnp.float32)
+    return params
+
+
+def xlmr_from_hf(state_dict: Mapping, num_layers: int | None = None) -> dict:
+    sd = {k.removeprefix("roberta."): v for k, v in dict(state_dict).items()}
+    if num_layers is None:
+        num_layers = _count(sd, "encoder.layer.{}.output.LayerNorm.weight")
+
+    emb = {
+        "word": jnp.asarray(_np(sd["embeddings.word_embeddings.weight"])),
+        "position": jnp.asarray(_np(sd["embeddings.position_embeddings.weight"])),
+        "token_type": jnp.asarray(_np(sd["embeddings.token_type_embeddings.weight"])),
+        "ln": _ln(sd, "embeddings.LayerNorm"),
+    }
+
+    def layer(i):
+        pre = f"encoder.layer.{i}"
+        return {
+            "q": _lin(sd, f"{pre}.attention.self.query"),
+            "k": _lin(sd, f"{pre}.attention.self.key"),
+            "v": _lin(sd, f"{pre}.attention.self.value"),
+            "out": _lin(sd, f"{pre}.attention.output.dense"),
+            "attn_ln": _ln(sd, f"{pre}.attention.output.LayerNorm"),
+            "ffn_in": _lin(sd, f"{pre}.intermediate.dense"),
+            "ffn_out": _lin(sd, f"{pre}.output.dense"),
+            "final_ln": _ln(sd, f"{pre}.output.LayerNorm"),
+        }
+
+    import jax
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
+                           *[layer(i) for i in range(num_layers)])
+    return {"embeddings": emb, "layers": stacked}

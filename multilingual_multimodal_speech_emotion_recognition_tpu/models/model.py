@@ -1,0 +1,229 @@
+"""The full SER model: one pytree, one jitted forward.
+
+The reference instantiates 8 loose nn.Modules per script and chains them
+eagerly (/root/reference/src/train.py:54-69, 145-152). Here the entire
+forward — audio encoder (+adapter, +front-end feature fusion), text encoder
+(+adapter, +ASR feature fusion), bidirectional cross-modal attention,
+attentive-stats pooling ×2, gated fusion, deep OpenMax classifier, prototype
+memory — is a single pure function over one parameter pytree, compiled once
+by XLA and shardable with pjit.
+
+Pipeline parity map (reference file:line):
+  audio adapter + residual        audio_encoder.py:19-21, 112
+  quality/cond/combined fusion    audio_encoder.py:27-52, 127-138
+  text adapter + asr_fusion       text_encoder.py:18-30, 57-73
+  cross-modal attention           train.py:147
+  pooling / fusion / classifier   train.py:148-152
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..ops import pooling as pooling_ops
+from . import classifier as clf
+from . import cross_attention as cma
+from . import fusion as fusion_mod
+from . import layers
+from . import prototypes as protos
+from . import wav2vec2 as w2v
+from . import xlmr as xlmr_mod
+
+Array = jax.Array
+
+
+class ModelOutput(NamedTuple):
+    logits: Array               # [B, C]
+    uncertainty: Array          # [B, 1]
+    anchor_loss: Array          # scalar
+    anchor_similarities: Array  # [B, C]
+    features: Array             # [B, base_dim//2] classifier penultimate
+    fused: Array                # [B, proj_dim] fusion output (prototype space)
+    audio_vec: Array            # [B, 2*audio_hidden]
+    text_vec: Array             # [B, 2*text_hidden]
+
+
+def _init_feature_fusion(key, hid: int, extra: int, dtype) -> dict:
+    return {"lin": layers.init_linear(key, hid + extra, hid, dtype=dtype)}
+
+
+def init_model(key: Array, cfg: ModelConfig, dtype=jnp.float32) -> dict:
+    ks = jax.random.split(key, 16)
+    ah, th = cfg.audio_hidden, cfg.text_hidden
+    params = {
+        "audio_backbone": w2v.init_wav2vec2(ks[0], cfg.audio, dtype),
+        "audio_adapter": {
+            "down": layers.init_linear(ks[1], ah, cfg.adapter_dim, dtype=dtype),
+            "up": layers.init_linear(ks[2], cfg.adapter_dim, ah, dtype=dtype),
+        },
+        "text_backbone": xlmr_mod.init_xlmr(ks[3], cfg.text, dtype),
+        "text_adapter": {
+            "down": layers.init_linear(ks[4], th, cfg.adapter_dim, dtype=dtype),
+            "up": layers.init_linear(ks[5], cfg.adapter_dim, th, dtype=dtype),
+        },
+        "asr_fusion": _init_feature_fusion(ks[6], th, 8, dtype),
+        "cross": cma.init_cross_modal_attention(ks[7], ah, th, cfg.shared_dim,
+                                                cfg.num_heads, dtype),
+        "pool_a": pooling_ops.init_attentive_stats_pooling(ks[8], ah, dtype=dtype),
+        "pool_t": pooling_ops.init_attentive_stats_pooling(ks[9], th, dtype=dtype),
+        "fusion": fusion_mod.init_fusion(ks[10], 2 * ah, 2 * th, cfg.proj_dim, dtype),
+        "classifier": clf.init_classifier(ks[11], cfg.proj_dim, cfg.num_labels,
+                                          cfg.classifier_layers,
+                                          cfg.classifier_base_dim, dtype),
+        "prototypes": protos.init_prototypes(ks[12], cfg.num_labels,
+                                             cfg.proj_dim, dtype),
+    }
+    if cfg.use_quality_gates and cfg.use_audio_conditioning:
+        params["combined_fusion"] = _init_feature_fusion(ks[13], ah, 20, dtype)
+    elif cfg.use_quality_gates:
+        params["quality_fusion"] = _init_feature_fusion(ks[13], ah, 8, dtype)
+    elif cfg.use_audio_conditioning:
+        params["conditioning_fusion"] = _init_feature_fusion(ks[13], ah, 12, dtype)
+    return params
+
+
+def _adapter(p: dict, x: Array) -> Array:
+    """Bottleneck adapter with residual add (audio_encoder.py:19-21, 112)."""
+    return x + layers.linear(p["up"], jax.nn.relu(layers.linear(p["down"], x)))
+
+
+def _feature_fuse(p: dict, seq: Array, feats: Array, *, dropout_rate: float,
+                  dropout_key, deterministic: bool) -> Array:
+    """Broadcast per-utterance features along time, concat, Linear+ReLU+Drop
+    (audio_encoder.py:27-52 fusion blocks)."""
+    B, S, _ = seq.shape
+    f = jnp.broadcast_to(feats[:, None, :], (B, S, feats.shape[-1])).astype(seq.dtype)
+    y = layers.linear(p["lin"], jnp.concatenate([seq, f], axis=-1))
+    y = jax.nn.relu(y)
+    return layers.dropout(dropout_key, y, dropout_rate, deterministic)
+
+
+def cast_floating(tree, dtype):
+    return jax.tree.map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        tree)
+
+
+def encode_audio(params: dict, cfg: ModelConfig, wave: Array, wave_mask: Array,
+                 *, quality_feats: Optional[Array] = None,
+                 cond_feats: Optional[Array] = None,
+                 deterministic: bool = True, dropout_key=None,
+                 spec_augment: bool = False):
+    """[B, T] waveform -> ([B, T', ah] sequence, [B, T'] frame mask)."""
+    if dropout_key is not None:
+        k_bb, k_f = jax.random.split(dropout_key)
+    else:
+        k_bb = k_f = None
+    seq, frame_mask = w2v.wav2vec2_encode(
+        params["audio_backbone"], cfg.audio, wave, wave_mask,
+        deterministic=deterministic, dropout_key=k_bb,
+        spec_augment=spec_augment, remat=cfg.remat_encoders)
+    seq = _adapter(params["audio_adapter"], seq)
+
+    uq, uc = cfg.use_quality_gates, cfg.use_audio_conditioning
+    if uq or uc:
+        B = seq.shape[0]
+        q = quality_feats if quality_feats is not None else jnp.zeros((B, 8), seq.dtype)
+        c = cond_feats if cond_feats is not None else jnp.zeros((B, 12), seq.dtype)
+        if uq and uc:
+            seq = _feature_fuse(params["combined_fusion"], seq,
+                                jnp.concatenate([q, c], axis=-1),
+                                dropout_rate=0.1, dropout_key=k_f,
+                                deterministic=deterministic)
+        elif uq:
+            seq = _feature_fuse(params["quality_fusion"], seq, q,
+                                dropout_rate=0.1, dropout_key=k_f,
+                                deterministic=deterministic)
+        else:
+            seq = _feature_fuse(params["conditioning_fusion"], seq, c,
+                                dropout_rate=0.1, dropout_key=k_f,
+                                deterministic=deterministic)
+    return seq, frame_mask
+
+
+def encode_text(params: dict, cfg: ModelConfig, input_ids: Array,
+                text_mask: Array, *, asr_feats: Optional[Array] = None,
+                deterministic: bool = True, dropout_key=None):
+    """[B, S] token ids -> ([B, S, th] sequence, [B, S] mask)."""
+    if dropout_key is not None:
+        k_bb, k_f = jax.random.split(dropout_key)
+    else:
+        k_bb = k_f = None
+    seq = xlmr_mod.xlmr_encode(params["text_backbone"], cfg.text, input_ids,
+                               text_mask, deterministic=deterministic,
+                               dropout_key=k_bb, remat=cfg.remat_encoders)
+    seq = _adapter(params["text_adapter"], seq)
+    if cfg.use_asr and asr_feats is not None:
+        seq = _feature_fuse(params["asr_fusion"], seq, asr_feats,
+                            dropout_rate=0.1, dropout_key=k_f,
+                            deterministic=deterministic)
+    return seq, text_mask
+
+
+def model_forward(params: dict, cfg: ModelConfig, batch: dict, *,
+                  deterministic: bool = True,
+                  dropout_key: Optional[Array] = None,
+                  use_openmax: bool = False,
+                  spec_augment: bool = False) -> ModelOutput:
+    """batch keys: audio [B,T] f32, audio_mask [B,T], text_ids [B,S] i32,
+    text_mask [B,S]; optional quality_feats [B,8], cond_feats [B,12],
+    asr_feats [B,8]."""
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    p = cast_floating(params, dtype) if dtype != jnp.float32 else params
+
+    if dropout_key is not None:
+        k_a, k_t, k_x, k_fu, k_c = jax.random.split(dropout_key, 5)
+    else:
+        k_a = k_t = k_x = k_fu = k_c = None
+
+    a_seq, a_mask = encode_audio(
+        p, cfg, batch["audio"].astype(dtype), batch["audio_mask"],
+        quality_feats=batch.get("quality_feats"),
+        cond_feats=batch.get("cond_feats"),
+        deterministic=deterministic, dropout_key=k_a,
+        spec_augment=spec_augment)
+    t_seq, t_mask = encode_text(
+        p, cfg, batch["text_ids"], batch["text_mask"],
+        asr_feats=batch.get("asr_feats"),
+        deterministic=deterministic, dropout_key=k_t)
+
+    a_enh, t_enh = cma.cross_modal_attention(
+        p["cross"], a_seq, t_seq, a_mask, t_mask, num_heads=cfg.num_heads,
+        dropout_rate=cfg.cross_dropout, dropout_key=k_x,
+        deterministic=deterministic)
+
+    a_vec = pooling_ops.attentive_stats_pooling(p["pool_a"], a_enh, a_mask)
+    t_vec = pooling_ops.attentive_stats_pooling(p["pool_t"], t_enh, t_mask)
+
+    fused = fusion_mod.fusion(p["fusion"], a_vec, t_vec,
+                              dropout_rate=0.1, dropout_key=k_fu,
+                              deterministic=deterministic)
+
+    # classifier numerics stay f32 (tiny FLOPs, parity-critical)
+    out = clf.classifier_forward(
+        params["classifier"], fused.astype(jnp.float32),
+        use_openmax=use_openmax, dropout_rate=cfg.classifier_dropout,
+        dropout_key=k_c, deterministic=deterministic)
+
+    return ModelOutput(logits=out.logits, uncertainty=out.uncertainty,
+                       anchor_loss=out.anchor_loss,
+                       anchor_similarities=out.anchor_similarities,
+                       features=out.features, fused=fused.astype(jnp.float32),
+                       audio_vec=a_vec, text_vec=t_vec)
+
+
+def load_pretrained_backbones(params: dict, *, wav2vec2_state=None,
+                              xlmr_state=None) -> dict:
+    """Swap randomly-initialized backbones for converted HF weights
+    (layer/conv counts inferred from the state dict)."""
+    from . import hf_convert
+    params = dict(params)
+    if wav2vec2_state is not None:
+        params["audio_backbone"] = hf_convert.wav2vec2_from_hf(wav2vec2_state)
+    if xlmr_state is not None:
+        params["text_backbone"] = hf_convert.xlmr_from_hf(xlmr_state)
+    return params

@@ -1,0 +1,307 @@
+"""Wav2Vec2 audio encoder, TPU-native.
+
+Capability parity with the frozen `facebook/wav2vec2-base` backbone used by
+the reference AudioEncoder (/root/reference/src/models/audio_encoder.py:13-17):
+7-layer strided conv feature extractor (group-norm on layer 0), feature
+projection, grouped positional conv embedding, 12 post-layer-norm
+transformer layers.
+
+Key TPU-first differences from the reference's per-clip Python loop
+(audio_encoder.py:65-145):
+
+  * Fully batched over padded waveforms with explicit masks. The reference
+    runs one clip at a time precisely because HF's batched wav2vec2-base is
+    NOT padding-invariant (its group norm and waveform normalization see the
+    pad). Here both are *masked* statistics, so the batched result equals
+    the reference's per-sample result for every valid frame — one big MXU
+    program instead of B tiny ones.
+  * Transformer layers are stacked [L, ...] and traversed with lax.scan
+    (+ optional jax.checkpoint), compiling once regardless of depth.
+  * bf16-friendly: all normalization statistics accumulate in f32.
+
+The HF checkpoint converts weight-for-weight via hf_convert.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import layers
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class Wav2Vec2Config:
+    conv_dim: Tuple[int, ...] = (512,) * 7
+    conv_stride: Tuple[int, ...] = (5, 2, 2, 2, 2, 2, 2)
+    conv_kernel: Tuple[int, ...] = (10, 3, 3, 3, 3, 2, 2)
+    conv_bias: bool = False
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    layer_norm_eps: float = 1e-5
+    num_conv_pos_embeddings: int = 128
+    num_conv_pos_embedding_groups: int = 16
+    hidden_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    activation_dropout: float = 0.1
+    # SpecAugment (active in the reference's training because the frozen HF
+    # encoder still runs in train mode — modeling_wav2vec2 masks hidden
+    # states when config.apply_spec_augment and module.training).
+    apply_spec_augment: bool = True
+    mask_time_prob: float = 0.05
+    mask_time_length: int = 10
+
+    def feat_extract_output_lengths(self, input_lengths: Array) -> Array:
+        """HF Wav2Vec2Model._get_feat_extract_output_lengths."""
+        lengths = input_lengths
+        for k, s in zip(self.conv_kernel, self.conv_stride):
+            lengths = (lengths - k) // s + 1
+        return lengths
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def init_wav2vec2(key: Array, cfg: Wav2Vec2Config, dtype=jnp.float32) -> dict:
+    n_conv = len(cfg.conv_dim)
+    keys = jax.random.split(key, n_conv + 6)
+
+    convs = []
+    in_c = 1
+    for i in range(n_conv):
+        k = cfg.conv_kernel[i]
+        out_c = cfg.conv_dim[i]
+        # HF init: kaiming_normal for conv weights
+        std = math.sqrt(2.0 / (in_c * k))
+        w = jax.random.normal(keys[i], (k, in_c, out_c), dtype) * std
+        conv = {"kernel": w}
+        if cfg.conv_bias:
+            conv["bias"] = jnp.zeros((out_c,), dtype)
+        convs.append(conv)
+        in_c = out_c
+
+    gn = {"scale": jnp.ones((cfg.conv_dim[0],), dtype),
+          "bias": jnp.zeros((cfg.conv_dim[0],), dtype)}
+
+    kp, kpos, kenc, kmask = keys[n_conv:n_conv + 4]
+
+    feat_proj = {
+        "ln": layers.init_layer_norm(cfg.conv_dim[-1], dtype=dtype),
+        "proj": layers.init_linear(kp, cfg.conv_dim[-1], cfg.hidden_size, dtype=dtype),
+    }
+
+    # positional conv: grouped Conv1d(hidden, hidden, k=128, groups=16)
+    g = cfg.num_conv_pos_embedding_groups
+    kk = cfg.num_conv_pos_embeddings
+    in_per_group = cfg.hidden_size // g
+    pos_std = math.sqrt(4.0 / (kk * cfg.hidden_size))  # HF: normal(0, 2/sqrt(k*h))
+    pos_conv = {
+        "kernel": jax.random.normal(kpos, (kk, in_per_group, cfg.hidden_size), dtype) * pos_std,
+        "bias": jnp.zeros((cfg.hidden_size,), dtype),
+    }
+
+    def one_layer(k):
+        ks = jax.random.split(k, 6)
+        h, ffn = cfg.hidden_size, cfg.intermediate_size
+        std = 0.02  # HF initializer_range
+
+        def lin(kk2, i, o):
+            return {"kernel": jax.random.normal(kk2, (i, o), dtype) * std,
+                    "bias": jnp.zeros((o,), dtype)}
+
+        return {
+            "q": lin(ks[0], h, h), "k": lin(ks[1], h, h),
+            "v": lin(ks[2], h, h), "out": lin(ks[3], h, h),
+            "attn_ln": layers.init_layer_norm(h, dtype=dtype),
+            "ffn_in": lin(ks[4], h, ffn),
+            "ffn_out": lin(ks[5], ffn, h),
+            "final_ln": layers.init_layer_norm(h, dtype=dtype),
+        }
+
+    layer_keys = jax.random.split(kenc, cfg.num_hidden_layers)
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
+                           *[one_layer(k) for k in layer_keys])
+
+    return {
+        "convs": convs,
+        "group_norm": gn,
+        "feat_proj": feat_proj,
+        "pos_conv": pos_conv,
+        "encoder_ln": layers.init_layer_norm(cfg.hidden_size, dtype=dtype),
+        "layers": stacked,
+        "masked_spec_embed": jax.random.uniform(kmask, (cfg.hidden_size,), dtype),
+    }
+
+
+# ---------------------------------------------------------------------------
+# forward pieces
+# ---------------------------------------------------------------------------
+
+def normalize_waveform(wave: Array, mask: Array, eps: float = 1e-7) -> Array:
+    """Per-sample zero-mean/unit-var over *valid* samples, zeros on padding
+    (HF Wav2Vec2FeatureExtractor.zero_mean_unit_var_norm)."""
+    wave = wave.astype(jnp.float32)
+    mask = mask.astype(jnp.float32)
+    n = jnp.maximum(jnp.sum(mask, axis=-1, keepdims=True), 1.0)
+    mean = jnp.sum(wave * mask, axis=-1, keepdims=True) / n
+    var = jnp.sum(jnp.square(wave - mean) * mask, axis=-1, keepdims=True) / n
+    return (wave - mean) * jax.lax.rsqrt(var + eps) * mask
+
+
+def _conv1d(p: dict, x: Array, stride: int, *, groups: int = 1,
+            padding: int = 0) -> Array:
+    """x: [B, T, C_in]; kernel [K, C_in/groups, C_out] -> [B, T', C_out]."""
+    y = jax.lax.conv_general_dilated(
+        x, p["kernel"].astype(x.dtype),
+        window_strides=(stride,),
+        padding=[(padding, padding)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=groups,
+    )
+    if "bias" in p:
+        y = y + p["bias"].astype(y.dtype)
+    return y
+
+
+def masked_group_norm_per_channel(p: dict, x: Array, frame_mask: Array,
+                                  eps: float = 1e-5) -> Array:
+    """GroupNorm(C, C) == per-channel instance norm over time, with
+    statistics restricted to valid frames so batched == per-sample.
+    x: [B, T, C], frame_mask: [B, T]."""
+    xf = x.astype(jnp.float32)
+    m = frame_mask.astype(jnp.float32)[..., None]
+    n = jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1.0)
+    mean = jnp.sum(xf * m, axis=1, keepdims=True) / n
+    var = jnp.sum(jnp.square(xf - mean) * m, axis=1, keepdims=True) / n
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def feature_encoder(params: dict, cfg: Wav2Vec2Config, wave: Array,
+                    sample_mask: Array) -> Tuple[Array, Array]:
+    """Strided conv stack: [B, T] -> ([B, T7, 512], frame_mask [B, T7])."""
+    x = wave[..., None]  # [B, T, 1]
+    lengths = jnp.sum(sample_mask.astype(jnp.int32), axis=-1)
+    for i, conv in enumerate(params["convs"]):
+        x = _conv1d(conv, x, cfg.conv_stride[i])
+        lengths = (lengths - cfg.conv_kernel[i]) // cfg.conv_stride[i] + 1
+        if i == 0:
+            fm = (jnp.arange(x.shape[1])[None, :] < lengths[:, None])
+            x = masked_group_norm_per_channel(params["group_norm"], x, fm)
+        x = jax.nn.gelu(x, approximate=False)
+    frame_mask = (jnp.arange(x.shape[1])[None, :] < lengths[:, None]).astype(x.dtype)
+    return x, frame_mask
+
+
+def _spec_augment(key: Array, cfg: Wav2Vec2Config, hidden: Array,
+                  frame_mask: Array, masked_embed: Array) -> Array:
+    """SpecAugment-style time masking (capability parity with HF
+    _compute_mask_indices: each chosen start masks `mask_time_length`
+    frames; expected coverage mask_time_prob)."""
+    B, T, _ = hidden.shape
+    p_start = cfg.mask_time_prob / cfg.mask_time_length * 2.0
+    starts = jax.random.bernoulli(key, p_start, (B, T)).astype(jnp.float32)
+    # dilate starts over mask_time_length frames via max-pool
+    masked = jax.lax.reduce_window(
+        starts, 0.0, jax.lax.max,
+        window_dimensions=(1, cfg.mask_time_length),
+        window_strides=(1, 1),
+        padding=[(0, 0), (cfg.mask_time_length - 1, 0)])
+    masked = masked * frame_mask
+    return jnp.where(masked[..., None] > 0,
+                     masked_embed.astype(hidden.dtype), hidden)
+
+
+def _encoder_stack(stacked: dict, cfg: Wav2Vec2Config, h: Array,
+                   attn_bias: Optional[Array], *, dropout_key, deterministic,
+                   remat: bool) -> Array:
+    H = cfg.num_attention_heads
+    D = cfg.hidden_size // H
+    scale = D ** -0.5
+
+    def body(carry, layer):
+        x, key = carry
+        if key is not None:
+            key, k1, k2, k3, k4 = jax.random.split(key, 5)
+        else:
+            k1 = k2 = k3 = k4 = None
+        B, S, E = x.shape
+        q = (layers.linear(layer["q"], x) * scale).reshape(B, S, H, D)
+        k = layers.linear(layer["k"], x).reshape(B, S, H, D)
+        v = layers.linear(layer["v"], x).reshape(B, S, H, D)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+        if attn_bias is not None:
+            logits = logits + attn_bias
+        attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        attn = layers.dropout(k1, attn, cfg.attention_dropout, deterministic)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, S, E)
+        ctx = layers.linear(layer["out"], ctx)
+        ctx = layers.dropout(k2, ctx, cfg.hidden_dropout, deterministic)
+        x = layers.layer_norm(layer["attn_ln"], x + ctx, eps=cfg.layer_norm_eps)
+
+        f = jax.nn.gelu(layers.linear(layer["ffn_in"], x), approximate=False)
+        f = layers.dropout(k3, f, cfg.activation_dropout, deterministic)
+        f = layers.linear(layer["ffn_out"], f)
+        f = layers.dropout(k4, f, cfg.hidden_dropout, deterministic)
+        x = layers.layer_norm(layer["final_ln"], x + f, eps=cfg.layer_norm_eps)
+        return (x, key), None
+
+    if remat:
+        body = jax.checkpoint(body)
+    (out, _), _ = jax.lax.scan(body, (h, dropout_key), stacked)
+    return out
+
+
+def wav2vec2_encode(params: dict, cfg: Wav2Vec2Config, wave: Array,
+                    sample_mask: Array, *, normalize: bool = True,
+                    deterministic: bool = True,
+                    dropout_key: Optional[Array] = None,
+                    spec_augment: bool = False,
+                    remat: bool = False) -> Tuple[Array, Array]:
+    """wave: [B, T] raw audio @16 kHz; sample_mask: [B, T] (1 valid).
+
+    Returns (hidden [B, T', hidden_size], frame_mask [B, T']).
+    """
+    if dropout_key is not None:
+        k_spec, k_drop, k_enc = jax.random.split(dropout_key, 3)
+    else:
+        k_spec = k_drop = k_enc = None
+
+    if normalize:
+        wave = normalize_waveform(wave, sample_mask)
+    feats, frame_mask = feature_encoder(params, cfg, wave, sample_mask)
+
+    h = layers.layer_norm(params["feat_proj"]["ln"], feats, eps=cfg.layer_norm_eps)
+    h = layers.linear(params["feat_proj"]["proj"], h)
+
+    if spec_augment and not deterministic and cfg.apply_spec_augment:
+        h = _spec_augment(k_spec, cfg, h, frame_mask, params["masked_spec_embed"])
+
+    # zero padded frames so the positional conv sees zeros (HF Encoder.forward)
+    h = h * frame_mask[..., None].astype(h.dtype)
+    pos = _conv1d(params["pos_conv"], h, 1,
+                  groups=cfg.num_conv_pos_embedding_groups,
+                  padding=cfg.num_conv_pos_embeddings // 2)
+    # with even kernel and padding k//2 the conv yields T+1 frames; HF's
+    # SamePadLayer drops the trailing one — slicing to T does both cases.
+    pos = pos[:, : h.shape[1], :]
+    pos = jax.nn.gelu(pos, approximate=False)
+    h = h + pos
+    h = layers.layer_norm(params["encoder_ln"], h, eps=cfg.layer_norm_eps)
+    h = layers.dropout(k_drop, h, cfg.hidden_dropout, deterministic)
+
+    attn_bias = jnp.where(frame_mask[:, None, None, :] == 0, -jnp.inf, 0.0)
+    h = _encoder_stack(params["layers"], cfg, h, attn_bias,
+                       dropout_key=k_enc, deterministic=deterministic,
+                       remat=remat)
+    return h, frame_mask

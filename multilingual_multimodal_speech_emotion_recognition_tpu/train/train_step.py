@@ -1,0 +1,108 @@
+"""Jitted training / evaluation steps.
+
+Loss mix parity: /root/reference/src/train.py:151-168 —
+  loss = label_smoothed_CE
+       + 0.3  * class_balanced_focal
+       + 0.1  * anchor_clustering_loss        (identically 0 — kept)
+       + 0.05 * mean(uncertainty * correct)
+       + 0.01 * prototype_loss                (gated on --proto_weight > 0)
+SupCon is instantiated but never added in the reference (train.py:86,
+README "disabled") — exposed here behind `supcon_weight`.
+
+The whole step — forward, multi-term loss, backward, per-group AdamW
+update — is one jitted XLA program; under a Mesh the gradient all-reduce is
+emitted automatically from the batch/param shardings.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import ModelConfig, TrainConfig
+from ..models import model as mdl
+from ..models import prototypes as protos
+from ..ops import losses
+
+Array = jax.Array
+
+
+class StepMetrics(NamedTuple):
+    loss: Array
+    ce: Array
+    focal: Array
+    anchor: Array
+    uncertainty: Array
+    proto: Array
+    supcon: Array
+    accuracy: Array
+
+
+def compute_loss(params: dict, model_cfg: ModelConfig, train_cfg: TrainConfig,
+                 batch: dict, *, dropout_key: Optional[Array] = None,
+                 deterministic: bool = False):
+    out = mdl.model_forward(params, model_cfg, batch,
+                            deterministic=deterministic,
+                            dropout_key=dropout_key, use_openmax=False,
+                            spec_augment=not deterministic)
+    labels = batch["labels"]
+    ce = losses.label_smoothing_cross_entropy(
+        out.logits, labels, smoothing=train_cfg.label_smoothing)
+    focal = losses.class_balanced_focal_loss(
+        out.logits, labels, num_classes=model_cfg.num_labels)
+    unc = losses.uncertainty_regularizer(out.uncertainty, out.logits, labels)
+    loss = (ce + train_cfg.focal_weight * focal
+            + train_cfg.anchor_weight * out.anchor_loss
+            + train_cfg.uncertainty_weight * unc)
+    if train_cfg.proto_weight > 0:
+        proto = protos.prototype_loss(params["prototypes"], out.fused, labels)
+        loss = loss + train_cfg.proto_term_weight * proto
+    else:
+        proto = jnp.zeros(())
+    if train_cfg.supcon_weight > 0:
+        sup = losses.supcon_loss(out.fused, labels)
+        loss = loss + train_cfg.supcon_weight * sup
+    else:
+        sup = jnp.zeros(())
+    acc = jnp.mean((jnp.argmax(out.logits, -1) == labels).astype(jnp.float32))
+    metrics = StepMetrics(loss=loss, ce=ce, focal=focal,
+                          anchor=out.anchor_loss, uncertainty=unc,
+                          proto=proto, supcon=sup, accuracy=acc)
+    return loss, metrics
+
+
+def make_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig, tx,
+                    donate: bool = True):
+    """Build the jitted train step closure over the optimizer."""
+
+    def step(params: dict, opt_state, batch: dict, rng: Array):
+        (_, metrics), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(params, model_cfg, train_cfg, batch,
+                                        dropout_key=rng, deterministic=False)
+        # non-finite guard: skip the update, like train_crema.py:360-368
+        gnorm = optax.global_norm(grads)
+        ok = jnp.isfinite(gnorm) & jnp.isfinite(metrics.loss)
+        grads = jax.tree.map(lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        new_params = jax.tree.map(lambda n, o: jnp.where(ok, n, o),
+                                  new_params, params)
+        new_opt_state = jax.tree.map(
+            lambda n, o: jnp.where(ok, n, o) if hasattr(n, "dtype") else n,
+            new_opt_state, opt_state)
+        return new_params, new_opt_state, metrics
+
+    donate_argnums = (0, 1) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums)
+
+
+def make_eval_step(model_cfg: ModelConfig, *, use_openmax: bool = False):
+    def step(params: dict, batch: dict):
+        out = mdl.model_forward(params, model_cfg, batch, deterministic=True,
+                                use_openmax=use_openmax)
+        return out.logits, out.features, out.uncertainty
+
+    return jax.jit(step)

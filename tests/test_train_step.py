@@ -1,0 +1,104 @@
+"""Training-step tests: per-group optimizer semantics, frozen backbones,
+loss mix, non-finite skip guard, multichip dryrun."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from multilingual_multimodal_speech_emotion_recognition_tpu.config import TrainConfig
+import multilingual_multimodal_speech_emotion_recognition_tpu.models.model as mdl
+import multilingual_multimodal_speech_emotion_recognition_tpu.train.optimizer as opt_lib
+import multilingual_multimodal_speech_emotion_recognition_tpu.train.train_step as ts
+
+from test_model import tiny_config, tiny_batch
+
+RNG = np.random.default_rng(3)
+
+
+def _with_labels(batch, B=4):
+    batch = dict(batch)
+    batch["labels"] = jnp.asarray(RNG.integers(0, 4, B).astype(np.int32))
+    return batch
+
+
+def test_train_step_updates_heads_not_backbones():
+    cfg = tiny_config()
+    tcfg = TrainConfig(epochs=1)
+    params = mdl.init_model(jax.random.key(0), cfg)
+    tx = opt_lib.make_train_optimizer(params, lr=1e-3, total_steps=100)
+    opt_state = tx.init(params)
+    step = ts.make_train_step(cfg, tcfg, tx, donate=False)
+
+    batch = _with_labels(tiny_batch())
+    # step 0 has lr=0 (warmup ramp starts at 0, exactly like the reference's
+    # LambdaLR at train.py:114-121) — take two steps so updates are visible.
+    new_params, new_opt, metrics = step(params, opt_state, batch, jax.random.key(1))
+    new_params, new_opt, metrics = step(new_params, new_opt, batch, jax.random.key(2))
+
+    assert np.isfinite(float(metrics.loss))
+    # frozen backbones unchanged
+    for name in ["audio_backbone", "text_backbone"]:
+        same = jax.tree.map(lambda a, b: np.allclose(np.asarray(a), np.asarray(b)),
+                            params[name], new_params[name])
+        assert all(jax.tree.leaves(same)), name
+    # trainable parts changed
+    for name in ["audio_adapter", "cross", "fusion", "classifier", "prototypes"]:
+        changed = jax.tree.reduce(
+            lambda a, b: a or b,
+            jax.tree.map(lambda a, b: not np.allclose(np.asarray(a), np.asarray(b)),
+                         params[name], new_params[name]))
+        assert changed, name
+    # weibull state never updated by the optimizer
+    same_w = jax.tree.map(lambda a, b: np.allclose(np.asarray(a), np.asarray(b)),
+                          params["classifier"]["weibull"],
+                          new_params["classifier"]["weibull"])
+    assert all(jax.tree.leaves(same_w))
+
+
+def test_warmup_cosine_schedule_matches_reference_lambda():
+    import math
+    sched = opt_lib.warmup_cosine_schedule(1.0, total_steps=100, warmup_ratio=0.1)
+    # reference lr_lambda (train.py:114-121)
+    def ref(step):
+        warmup = 10
+        if step < warmup:
+            return step / warmup
+        progress = (step - warmup) / 90
+        return 0.5 * (1 + math.cos(progress * math.pi))
+    for s in [0, 5, 10, 50, 99]:
+        np.testing.assert_allclose(float(sched(s)), ref(s), rtol=1e-5, atol=1e-6)
+
+
+def test_nonfinite_batch_skips_update():
+    cfg = tiny_config()
+    tcfg = TrainConfig(epochs=1)
+    params = mdl.init_model(jax.random.key(0), cfg)
+    tx = opt_lib.make_train_optimizer(params, lr=1e-3, total_steps=10)
+    opt_state = tx.init(params)
+    step = ts.make_train_step(cfg, tcfg, tx, donate=False)
+
+    batch = _with_labels(tiny_batch())
+    batch["audio"] = batch["audio"].at[0, 0].set(jnp.nan)
+    new_params, _, metrics = step(params, opt_state, batch, jax.random.key(1))
+    same = jax.tree.map(lambda a, b: np.allclose(np.asarray(a), np.asarray(b),
+                                                 equal_nan=False),
+                        params, new_params)
+    assert all(jax.tree.leaves(same))
+
+
+def test_param_labels_cover_all_leaves():
+    cfg = tiny_config()
+    params = mdl.init_model(jax.random.key(0), cfg)
+    labels = opt_lib.param_labels(params)
+    flat_p = jax.tree.leaves(params)
+    flat_l = jax.tree.leaves(labels)
+    assert len(flat_p) == len(flat_l)
+    valid = set(opt_lib.GROUPS) | {"frozen"}
+    assert set(flat_l) <= valid
+
+
+def test_dryrun_multichip_8():
+    import sys, pathlib
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
