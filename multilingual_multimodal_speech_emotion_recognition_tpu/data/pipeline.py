@@ -1,0 +1,180 @@
+"""Host input pipeline: manifest -> bucketed, padded, fixed-shape batches.
+
+The reference feeds variable-length Python lists through a DataLoader and
+pads inside the model per batch (/root/reference/src/train.py:21-24,
+audio_encoder.py:147-171) — every batch is a new shape. On TPU that would
+recompile constantly, so this pipeline:
+
+  * buckets clips by duration into a small static set of lengths
+    (DataConfig.audio_buckets), padding to the bucket size -> the jit cache
+    holds at most len(buckets) shapes;
+  * tokenizes text to a fixed max length;
+  * prefetches and decodes audio on background threads;
+  * optionally pads the final partial batch with masked rows
+    (`example_mask`) so eval sees every sample exactly once.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from ..config import DataConfig
+from . import audio_io, manifest as manifest_lib
+from .tokenizer import Tokenizer, get_tokenizer
+
+
+@dataclass
+class BatchSpec:
+    audio_len: int
+    batch_size: int
+    text_len: int
+
+
+class SERDataset:
+    """Manifest-backed dataset (dataset.py:5-23 semantics)."""
+
+    def __init__(self, manifest_path: str, data_cfg: Optional[DataConfig] = None):
+        self.cfg = data_cfg or DataConfig()
+        self.items = manifest_lib.read_manifest(manifest_path)
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    def audio_length(self, idx: int) -> int:
+        """Cheap duration probe from the WAV header; falls back to the
+        1 s zeros length for missing/corrupt files (preprocess.py:44-47)."""
+        import wave
+        from pathlib import Path
+        it = self.items[idx]
+        p = Path(it["audio"])
+        if self.cfg.dataset_root and not p.is_absolute() \
+                and not str(p).startswith(self.cfg.dataset_root):
+            p = Path(self.cfg.dataset_root) / p
+        try:
+            with wave.open(str(p), "rb") as w:
+                n = w.getnframes()
+                sr = w.getframerate()
+            n = int(n * self.cfg.sample_rate / sr)
+            n = min(n, int(self.cfg.sample_rate * self.cfg.max_audio_seconds))
+            n = max(n, int(self.cfg.sample_rate * self.cfg.min_audio_seconds))
+            return n
+        except Exception:
+            return self.cfg.sample_rate
+
+    def load(self, idx: int):
+        it = self.items[idx]
+        audio = audio_io.load_audio(
+            it["audio"], sr=self.cfg.sample_rate,
+            max_length=self.cfg.max_audio_seconds,
+            min_length=self.cfg.min_audio_seconds,
+            dataset_root=self.cfg.dataset_root)
+        return audio, it.get("text", ""), int(it["label"])
+
+
+class BucketedLoader:
+    """Epoch iterator yielding dicts of fixed-shape numpy arrays."""
+
+    def __init__(self, dataset: SERDataset, *, batch_size: int,
+                 tokenizer: Optional[Tokenizer] = None,
+                 shuffle: bool = True, seed: int = 0,
+                 drop_remainder: bool = False,
+                 num_workers: int = 8):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.tokenizer = tokenizer or get_tokenizer()
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_remainder = drop_remainder
+        self.num_workers = num_workers
+        cfg = dataset.cfg
+        self.bucket_samples = [int(b * cfg.sample_rate) for b in cfg.audio_buckets]
+        self._lengths = [dataset.audio_length(i) for i in range(len(dataset))]
+
+    def _bucket_of(self, length: int) -> int:
+        for bi, cap in enumerate(self.bucket_samples):
+            if length <= cap:
+                return bi
+        return len(self.bucket_samples) - 1
+
+    def batches_per_epoch(self) -> int:
+        counts = {}
+        for L in self._lengths:
+            b = self._bucket_of(L)
+            counts[b] = counts.get(b, 0) + 1
+        total = 0
+        for c in counts.values():
+            total += (c // self.batch_size if self.drop_remainder
+                      else -(-c // self.batch_size))
+        return total
+
+    def epoch(self, epoch_idx: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        order = np.arange(len(self.ds))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + epoch_idx)
+            rng.shuffle(order)
+
+        buckets: Dict[int, List[int]] = {}
+        for i in order:
+            buckets.setdefault(self._bucket_of(self._lengths[i]), []).append(int(i))
+
+        # interleave batches from all buckets in shuffled order
+        batch_plans = []
+        for bi, idxs in buckets.items():
+            for s in range(0, len(idxs), self.batch_size):
+                chunk = idxs[s:s + self.batch_size]
+                if len(chunk) < self.batch_size and self.drop_remainder:
+                    continue
+                batch_plans.append((bi, chunk))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed * 7919 + epoch_idx)
+            rng.shuffle(batch_plans)
+
+        with cf.ThreadPoolExecutor(self.num_workers) as pool:
+            # two-deep pipelining: next batch's decodes run while the
+            # current batch is being consumed on device
+            def submit(plan):
+                bi, idxs = plan
+                return bi, [pool.submit(self.ds.load, i) for i in idxs]
+
+            pending = None
+            for plan in batch_plans:
+                nxt = submit(plan)
+                if pending is not None:
+                    bi, futs = pending
+                    yield self._assemble(bi, [f.result() for f in futs])
+                pending = nxt
+            if pending is not None:
+                bi, futs = pending
+                yield self._assemble(bi, [f.result() for f in futs])
+
+    def _assemble(self, bucket_idx: int, loaded: list) -> dict:
+        T = self.bucket_samples[bucket_idx]
+        B = self.batch_size
+
+        audio = np.zeros((B, T), np.float32)
+        audio_mask = np.zeros((B, T), np.float32)
+        labels = np.zeros((B,), np.int32)
+        example_mask = np.zeros((B,), np.float32)
+        texts = [""] * B
+        for r, (wav, text, label) in enumerate(loaded):
+            L = min(len(wav), T)
+            audio[r, :L] = wav[:L]
+            audio_mask[r, :L] = 1.0
+            labels[r] = label
+            texts[r] = text
+            example_mask[r] = 1.0
+        # padded rows must stay valid inputs (fully-masked rows would NaN in
+        # masked softmax): give them 1 valid audio sample and BOS/EOS text.
+        for r in range(len(loaded), B):
+            audio_mask[r, 0] = 1.0
+
+        ids, tmask = self.tokenizer.encode_batch(texts, self.ds.cfg.max_text_tokens)
+        return {
+            "audio": audio, "audio_mask": audio_mask,
+            "text_ids": ids, "text_mask": tmask,
+            "labels": labels, "example_mask": example_mask,
+        }

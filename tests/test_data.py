@@ -1,0 +1,177 @@
+"""Data layer tests: wav IO, manifests, tokenizer, bucketed pipeline,
+device-side DSP (resample/speed/noise/TTA)."""
+
+import json
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from multilingual_multimodal_speech_emotion_recognition_tpu.config import DataConfig
+import multilingual_multimodal_speech_emotion_recognition_tpu.data.audio_io as aio
+import multilingual_multimodal_speech_emotion_recognition_tpu.data.manifest as man
+import multilingual_multimodal_speech_emotion_recognition_tpu.data.pipeline as pipe
+import multilingual_multimodal_speech_emotion_recognition_tpu.data.tokenizer as tok
+import multilingual_multimodal_speech_emotion_recognition_tpu.ops.audio_dsp as dsp
+
+RNG = np.random.default_rng(11)
+
+
+@pytest.fixture()
+def wav_dir(tmp_path):
+    root = tmp_path / "datasets" / "crema"
+    root.mkdir(parents=True)
+    sr = 16000
+    lengths = [8000, 16000, 24000, 40000, 70000]
+    emotions = ["ANG", "HAP", "SAD", "NEU", "DIS"]
+    items = []
+    for i, (L, emo) in enumerate(zip(lengths, emotions)):
+        t = np.arange(L) / sr
+        x = 0.4 * np.sin(2 * np.pi * (200 + 50 * i) * t).astype(np.float32)
+        name = f"10{i:02d}_IEO_{emo}_XX.wav"
+        aio.write_wav(root / name, x, sr)
+        items.append({"audio": f"crema/{name}", "text": f"utterance {i}",
+                      "label": man.crema_label(name), "dataset": "crema"})
+    mpath = tmp_path / "train.jsonl"
+    man.write_manifest(mpath, items)
+    return tmp_path, mpath, items
+
+
+def test_wav_roundtrip(tmp_path):
+    x = np.clip(RNG.standard_normal(5000) * 0.3, -1, 1).astype(np.float32)
+    aio.write_wav(tmp_path / "a.wav", x, 16000)
+    y, sr = aio.read_wav(tmp_path / "a.wav")
+    assert sr == 16000
+    np.testing.assert_allclose(y[0], x, atol=1.5 / 32768)
+
+
+def test_load_audio_semantics(wav_dir, tmp_path):
+    root, _, items = wav_dir
+    # trims to max_length and pads to min_length
+    w = aio.load_audio(items[0]["audio"], dataset_root=str(root / "datasets"),
+                       max_length=0.25)
+    assert w.shape[0] == 8000  # min_length 0.5s floor beats 0.25 trim? no:
+    # trim to 0.25s=4000 then pad to 0.5s=8000
+    assert np.all(w[4000:] == 0)
+    # missing file -> 1 s of zeros
+    z = aio.load_audio("does/not/exist.wav", dataset_root=str(root / "datasets"))
+    assert z.shape == (16000,) and np.all(z == 0)
+
+
+def test_crema_label_maps():
+    assert man.crema_label("1001_DFA_ANG_HI.wav") == 0
+    assert man.crema_label("1001_DFA_FEA_HI.wav") == 5
+    assert man.crema_label("1001_DFA_FEA_HI.wav", num_classes=4) == 0
+    assert man.ravdess_label("03-01-05-01-01-01-07.wav") == 0
+    assert man.ravdess_label("03-01-03-01-01-01-07.wav") == 1
+    assert man.tess_label("OAF_back_angry.wav") == 0
+
+
+def test_reference_manifests_parse():
+    items = man.read_manifest("/root/reference/crema_val_20.jsonl")
+    assert len(items) == 1488
+    dist = man.class_distribution(items)
+    assert set(dist) <= set(range(6))
+    # labels in the shipped fixture match our 6-class filename parser
+    for it in items[:50]:
+        assert man.crema_label(it["audio"]) == it["label"]
+
+
+def test_stratified_and_speaker_disjoint_splits():
+    items = [{"audio": f"a{i}.wav", "label": i % 4, "dataset": "d",
+              "speaker": f"s{i % 7}"} for i in range(140)]
+    tr, va, te = man.stratified_split(items)
+    assert len(tr) + len(va) + len(te) == 140
+    assert abs(len(tr) - 98) <= 4
+    tr2, va2, te2 = man.speaker_disjoint_split(items)
+    spk = lambda part: {it["speaker"] for it in part}
+    assert not (spk(tr2) & spk(va2)) and not (spk(tr2) & spk(te2))
+
+
+def test_hash_tokenizer_deterministic():
+    t = tok.HashTokenizer(vocab_size=1000)
+    ids1, m1 = t.encode_batch(["hello world", ""], 8)
+    ids2, _ = t.encode_batch(["hello world", ""], 8)
+    np.testing.assert_array_equal(ids1, ids2)
+    assert ids1[0, 0] == t.BOS and ids1[0, 3] == t.EOS
+    assert m1[0].sum() == 4 and m1[1].sum() == 2
+    assert ids1.max() < 1000
+
+
+def test_bucketed_loader_shapes(wav_dir):
+    root, mpath, items = wav_dir
+    cfg = DataConfig(audio_buckets=(1.0, 2.0, 30.0),
+                     dataset_root=str(root / "datasets"), max_text_tokens=16)
+    ds = pipe.SERDataset(str(mpath), cfg)
+    loader = pipe.BucketedLoader(ds, batch_size=2, shuffle=True, seed=1,
+                                 tokenizer=tok.HashTokenizer(1000))
+    batches = list(loader.epoch(0))
+    assert len(batches) == loader.batches_per_epoch()
+    seen = 0
+    allowed_T = {16000, 32000, 480000}
+    for b in batches:
+        assert b["audio"].shape[0] == 2 and b["audio"].shape[1] in allowed_T
+        assert b["audio_mask"].shape == b["audio"].shape
+        assert b["text_ids"].shape == (2, 16)
+        # masked samples are zeroed; valid region nonzero for real rows
+        assert np.all(b["audio"] * (1 - b["audio_mask"]) == 0)
+        seen += int(b["example_mask"].sum())
+        # padded rows keep at least one valid frame (no all-masked softmax)
+        assert b["audio_mask"].sum(axis=1).min() >= 1
+    assert seen == len(items)
+
+
+def test_sinc_resample_sine_preserves_frequency():
+    sr, f0 = 16000, 440.0
+    t = np.arange(sr) / sr
+    x = np.sin(2 * np.pi * f0 * t).astype(np.float32)[None]
+    y = np.asarray(dsp.sinc_resample(jnp.asarray(x), 16000, 8000))[0]
+    assert y.shape[0] == 8000
+    # dominant FFT bin should stay at 440 Hz
+    spec = np.abs(np.fft.rfft(y[200:-200] * np.hanning(y.shape[0] - 400)))
+    freq = np.fft.rfftfreq(y.shape[0] - 400, 1 / 8000)
+    assert abs(freq[np.argmax(spec)] - f0) < 2.0
+    # round trip preserves the signal closely
+    z = np.asarray(dsp.sinc_resample(jnp.asarray(y[None]), 8000, 16000))[0]
+    err = np.abs(z[500:15000] - x[0, 500:15000]).max()
+    assert err < 5e-3
+
+
+def test_resampled_length_formula():
+    assert dsp.resampled_length(16000, 16000, 8000) == 8000
+    assert dsp.resampled_length(16001, 16000, 8000) == math.ceil(16001 / 2)
+
+
+def test_add_noise_snr_hits_target():
+    T = 16000
+    x = (0.3 * np.sin(np.arange(T) * 0.05)).astype(np.float32)[None]
+    mask = jnp.ones((1, T))
+    y = np.asarray(dsp.add_noise_snr(jax.random.key(0), jnp.asarray(x), mask, 10.0))
+    noise = y - x
+    snr = 10 * np.log10((x ** 2).mean() / (noise ** 2).mean())
+    assert abs(snr - 10.0) < 1.0
+    assert np.abs(y).max() <= 1.0
+
+
+def test_augment_batch_shapes_and_determinism():
+    B, T = 4, 8000
+    wave = jnp.asarray(RNG.standard_normal((B, T)).astype(np.float32) * 0.1)
+    mask = jnp.ones((B, T)).at[1, 6000:].set(0)
+    f = jax.jit(lambda k, w, m: dsp.augment_batch(k, w, m))
+    w1, m1 = f(jax.random.key(5), wave, mask)
+    w2, m2 = f(jax.random.key(5), wave, mask)
+    np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+    assert w1.shape == (B, T) and m1.shape == (B, T)
+    assert not np.allclose(np.asarray(w1), np.asarray(wave))
+
+
+def test_tta_expand_views():
+    B, T = 2, 8000
+    wave = jnp.asarray(RNG.standard_normal((B, T)).astype(np.float32) * 0.1)
+    mask = jnp.ones((B, T))
+    w, m = dsp.tta_expand(jax.random.key(0), wave, mask, num_tta=5)
+    assert w.shape == (5 * B, T) and m.shape == (5 * B, T)
+    np.testing.assert_array_equal(np.asarray(w[:B]), np.asarray(wave))  # view 0 = orig
+    assert not np.allclose(np.asarray(w[B:2 * B]), np.asarray(wave))    # speed 0.95
