@@ -1,0 +1,330 @@
+"""Audio conditioning: hum notch, HPF, denoise, dereverb, loudness norm.
+
+TPU-native re-design of /root/reference/src/models/audio_conditioning.py.
+The reference runs scipy filtfilt / noisereduce per clip on the host; here
+the chain is one batched jittable function. IIR zero-phase filters
+(filtfilt of iirnotch/butter) are realized as FFT-domain |H(f)|² masks —
+the exact steady-state response of forward-backward IIR filtering, batched
+and XLA-fusable (SURVEY.md §7 "hard parts" #4).
+
+Parity map (reference file:line):
+  hum detect (Welch peak > mean + 2σ) + notch Q=30  audio_conditioning.py:66-94
+  HPF decision (low-freq ratio > 20%) + cutoff       audio_conditioning.py:105-146
+  SNR estimate (energy / 10th-pct noise floor)       audio_conditioning.py:158-169
+  noise-type by band ratios                          audio_conditioning.py:171-197
+  spectral-gating denoise when SNR < 15 dB           audio_conditioning.py:225-261
+  T60 estimate + mean-gain "dereverb" if T60 > .5 s  audio_conditioning.py:268-330
+  RMS-LUFS + compression + ±6 dB gain                audio_conditioning.py:357-431
+  12-dim conditioning feature vector                 audio_conditioning.py:562-579
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import spectral as sp
+
+Array = jax.Array
+
+HUM_FREQS = (50.0, 60.0)
+NOTCH_Q = 30.0
+SNR_DENOISE_THRESHOLD = 15.0
+T60_THRESHOLD = 0.5
+TARGET_LUFS = -23.0
+MAX_GAIN_DB = 6.0
+MAX_COMPRESSION = 4.0
+
+
+class ConditioningStats(NamedTuple):
+    hum_filtered: Array      # [B] {0,1}
+    hpf_applied: Array       # [B] {0,1}
+    denoise_applied: Array   # [B] {0,1}
+    dereverb_applied: Array  # [B] {0,1}
+    snr_before: Array        # [B] dB
+    snr_after: Array         # [B] dB
+    denoise_gain_db: Array   # [B]
+    estimated_t60: Array     # [B] s
+    lufs_original: Array     # [B]
+    lufs_adjustment: Array   # [B] dB
+    peak_reduction_db: Array  # [B]
+    compression_ratio: Array  # [B]
+    hpf_cutoff: Array        # [B] Hz
+    features: Array          # [B, 12] raw (pre-projection) feature vector
+
+
+def _zero_phase_apply(wave: Array, mag_sq_response: Array | np.ndarray) -> Array:
+    """Apply |H(f)|² in the rfft domain == steady-state filtfilt."""
+    spec = jnp.fft.rfft(wave, axis=-1)
+    return jnp.fft.irfft(spec * mag_sq_response, n=wave.shape[-1], axis=-1)
+
+
+def _notch_mag_sq(T: int, sample_rate: int, f0: float, Q: float) -> np.ndarray:
+    """|H(f)|² of scipy.signal.iirnotch(f0, Q) on the length-T rfft grid."""
+    freqs = np.fft.rfftfreq(T, d=1.0 / sample_rate)
+    w = 2 * np.pi * freqs / sample_rate
+    w0 = 2 * np.pi * f0 / sample_rate
+    bw = w0 / Q
+    gb = 1.0 / np.sqrt(2.0)
+    beta = (np.sqrt(1.0 - gb ** 2) / gb) * np.tan(bw / 2.0)
+    gain = 1.0 / (1.0 + beta)
+    b = np.array([gain, -2.0 * np.cos(w0) * gain, gain])
+    a = np.array([1.0, -2.0 * np.cos(w0) * gain, 2.0 * gain - 1.0])
+    z = np.exp(-1j * w)
+    H = ((b[0] + b[1] * z + b[2] * z ** 2)
+         / (a[0] + a[1] * z + a[2] * z ** 2))
+    return (np.abs(H) ** 2).astype(np.float32)
+
+
+def _butter_hp_mag_sq(T: int, sample_rate: int, cutoff: Array,
+                      order: int = 4) -> Array:
+    """|H(f)|² of an order-n Butterworth HPF: 1 / (1 + (fc/f)^(2n)).
+    cutoff is a per-utterance [B] array -> [B, bins]."""
+    freqs = jnp.asarray(np.fft.rfftfreq(T, d=1.0 / sample_rate),
+                        dtype=jnp.float32)
+    ratio = cutoff[:, None] / jnp.maximum(freqs[None, :], 1e-6)
+    return 1.0 / (1.0 + ratio ** (2 * order))
+
+
+def detect_hum(wave: Array, mask: Array, *, sample_rate: int):
+    """Per-hum-frequency detection flags [B, len(HUM_FREQS)]
+    (audio_conditioning.py:66-82: Welch peak > mean + 2σ of the PSD)."""
+    freqs, psd = sp.welch_psd(wave, mask, sample_rate=sample_rate,
+                              nperseg=2048)
+    thr = psd.mean(axis=-1) + 2.0 * psd.std(axis=-1)            # [B]
+    flags = []
+    for f0 in HUM_FREQS:
+        idx = int(np.argmin(np.abs(freqs - f0)))
+        flags.append(psd[:, idx] > thr)
+    return jnp.stack(flags, axis=-1)
+
+
+def hum_notch(wave: Array, mask: Array, *, sample_rate: int):
+    """Notch out detected hum lines. Returns (filtered, any_filtered [B])."""
+    flags = detect_hum(wave, mask, sample_rate=sample_rate)     # [B, H]
+    T = wave.shape[-1]
+    out = wave
+    for i, f0 in enumerate(HUM_FREQS):
+        resp = jnp.asarray(_notch_mag_sq(T, sample_rate, f0, NOTCH_Q))
+        filtered = _zero_phase_apply(out, resp)
+        out = jnp.where(flags[:, i][:, None], filtered, out)
+    return out * mask, flags.any(axis=-1)
+
+
+def hpf_decision(wave: Array, mask: Array, *, sample_rate: int):
+    """(should_apply [B], cutoff_hz [B]) — audio_conditioning.py:105-134."""
+    freqs, psd = sp.welch_psd(wave, mask, sample_rate=sample_rate,
+                              nperseg=2048)
+    low = jnp.asarray(freqs < 200.0)
+    low_ratio = (psd * low).sum(-1) / jnp.maximum(psd.sum(-1), 1e-20)
+    should = low_ratio > 0.2
+    cum = jnp.cumsum(psd, axis=-1)
+    reach = cum > 0.1 * cum[..., -1:]
+    cut_idx = jnp.argmax(reach, axis=-1)
+    cutoff = jnp.clip(jnp.asarray(freqs)[cut_idx], 80.0, 100.0)
+    cutoff = jnp.where(should, cutoff, 80.0)
+    return should, cutoff
+
+
+def apply_hpf(wave: Array, mask: Array, should: Array, cutoff: Array,
+              *, sample_rate: int) -> Array:
+    resp = _butter_hp_mag_sq(wave.shape[-1], sample_rate, cutoff)
+    filtered = _zero_phase_apply(wave, resp) * mask
+    return jnp.where(should[:, None], filtered, wave)
+
+
+def estimate_snr_energy(wave: Array, mask: Array) -> Array:
+    """Energy / 10th-percentile noise-floor SNR (audio_conditioning.py:158-169)."""
+    sq = wave ** 2
+    energy = sp.masked_mean(sq, mask)
+    floor = sp.masked_quantile(sq, mask, 0.10)
+    snr = 10.0 * jnp.log10(energy / jnp.maximum(floor, 1e-20))
+    snr = jnp.where(floor > 0, snr, 50.0)
+    return jnp.clip(snr, 0.0, 50.0)
+
+
+def spectral_gate_denoise(wave: Array, mask: Array, *, n_fft: int = 1024,
+                          hop: int = 256) -> Array:
+    """Batched spectral gating: noise profile from the first/last 10% of
+    valid frames, Wiener-style magnitude gain, overlap-add resynthesis
+    (replaces noisereduce, audio_conditioning.py:225-248)."""
+    T = wave.shape[-1]
+    pad = n_fft // 2
+    w = jnp.pad(wave, [(0, 0), (pad, pad)], mode="reflect")
+    frames = sp.frame_signal(w, n_fft, hop)                      # [B, F, n]
+    win = jnp.asarray(sp.hann_window(n_fft))
+    spec = jnp.fft.rfft(frames * win, axis=-1)                   # [B, F, bins]
+    mag = jnp.abs(spec)
+
+    m = jnp.pad(mask, [(0, 0), (pad, pad)])
+    fmask = (sp.frame_signal(m, n_fft, hop).mean(-1) > 0.25).astype(wave.dtype)
+    n_valid = fmask.sum(-1)
+    n_edge = jnp.maximum((0.1 * n_valid).astype(jnp.int32), 1)
+    rank = jnp.cumsum(fmask, axis=-1)
+    edge = (((rank <= n_edge[:, None])
+             | (rank > (n_valid - n_edge)[:, None])) & (fmask > 0))
+    noise_mag = sp.masked_mean(mag, edge[..., None].astype(mag.dtype), axis=1)
+    noise_std = jnp.sqrt(sp.masked_var(mag, edge[..., None].astype(mag.dtype),
+                                       axis=1))
+    thresh = (noise_mag + 1.5 * noise_std)[:, None, :]           # [B, 1, bins]
+    gain = jnp.clip((mag - thresh) / jnp.maximum(mag, 1e-10), 0.0, 1.0)
+    # smooth the gain over time to avoid musical noise
+    kernel = jnp.ones((3,), gain.dtype) / 3.0
+    gain = jax.vmap(jax.vmap(
+        lambda g: jnp.convolve(g, kernel, mode="same"),
+        in_axes=-1, out_axes=-1))(gain)
+
+    recon_frames = jnp.fft.irfft(spec * gain, n=n_fft, axis=-1) * win
+    # overlap-add
+    F = recon_frames.shape[1]
+    out_len = w.shape[-1]
+    idx = (np.arange(F)[:, None] * hop + np.arange(n_fft)[None, :]).reshape(-1)
+    flat = recon_frames.reshape(recon_frames.shape[0], -1)
+    out = jnp.zeros((wave.shape[0], out_len), wave.dtype)
+    out = out.at[:, idx].add(flat)
+    wsum = jnp.zeros((out_len,), wave.dtype).at[idx].add(
+        jnp.tile(win ** 2, (F,)))
+    out = out / jnp.maximum(wsum, 1e-8)[None, :]
+    return out[:, pad:pad + T] * mask
+
+
+def estimate_t60(wave: Array, mask: Array, *, sample_rate: int) -> Array:
+    """Energy-decay T60 estimate (audio_conditioning.py:272-302): cumulative
+    energy after the peak; time until the remaining-energy threshold."""
+    B, T = wave.shape
+    peak_idx = jnp.argmax(jnp.abs(wave) * mask, axis=-1)          # [B]
+    t = jnp.arange(T)
+    after = (t[None, :] >= peak_idx[:, None]) & (mask > 0)
+    sq = wave ** 2 * after
+    energy = jnp.cumsum(sq, axis=-1)
+    total = energy[:, -1:]
+    # reference: first index where cumsum < 0.001 * total — with a growing
+    # cumsum that's index 0 unless the signal is silent; replicated intent:
+    # time from peak until 99.9% of the decay energy has accumulated.
+    reach = energy >= (1.0 - 1e-3) * total
+    decay_idx = jnp.argmax(reach, axis=-1)
+    t60 = (decay_idx - peak_idx).astype(jnp.float32) / sample_rate
+    valid_len = mask.sum(-1)
+    short = (valid_len - peak_idx.astype(valid_len.dtype)) < sample_rate
+    t60 = jnp.where(short | (total[:, 0] <= 0), 0.1, t60)
+    return jnp.clip(t60, 0.0, 2.0)
+
+
+def dereverb(wave: Array, mask: Array, t60: Array, *,
+             sample_rate: int) -> tuple[Array, Array]:
+    """Mean-gain spectral-subtraction dereverb when T60 > 0.5 s
+    (audio_conditioning.py:304-330: the reference scales the whole clip by
+    the mean of the per-bin gain)."""
+    _, psd = sp.welch_psd(wave, mask, sample_rate=sample_rate, nperseg=1024)
+    reverb_est = psd.mean(axis=-1, keepdims=True) * 0.1
+    psd_clean = jnp.maximum(psd - reverb_est, psd * 0.1)
+    gain = jnp.clip(jnp.sqrt(psd_clean / (psd + 1e-10)), 0.1, 1.0)
+    mean_gain = gain.mean(axis=-1)                                # [B]
+    apply = t60 > T60_THRESHOLD
+    out = jnp.where(apply[:, None], wave * mean_gain[:, None], wave)
+    orig_e = sp.masked_mean(wave ** 2, mask)
+    new_e = sp.masked_mean(out ** 2, mask)
+    gain_db = jnp.where(apply & (new_e > 0),
+                        10.0 * jnp.log10(jnp.maximum(new_e, 1e-20)
+                                         / jnp.maximum(orig_e, 1e-20)), 0.0)
+    return out, gain_db
+
+
+def measure_lufs(wave: Array, mask: Array) -> Array:
+    """RMS-based LUFS approximation (audio_conditioning.py:364-371 fallback,
+    the path actually taken without pyloudnorm): 20·log10(rms) − 70."""
+    rms = jnp.sqrt(sp.masked_mean(wave ** 2, mask))
+    return jnp.where(rms > 0, 20.0 * jnp.log10(jnp.maximum(rms, 1e-20)) - 70.0,
+                     -60.0)
+
+
+def normalize_loudness(wave: Array, mask: Array):
+    """Compression (if dynamic range > 40 dB) + gain toward −23 LUFS clamped
+    to ±6 dB (audio_conditioning.py:373-431). Returns
+    (out, lufs_original, lufs_adjustment, peak_reduction_db, compression_ratio)."""
+    lufs_orig = measure_lufs(wave, mask)
+    rms = jnp.sqrt(sp.masked_mean(wave ** 2, mask))
+    peak = jnp.max(jnp.abs(wave) * mask, axis=-1)
+    dr_db = jnp.where(rms > 0,
+                      20.0 * jnp.log10(jnp.maximum(peak, 1e-20)
+                                       / jnp.maximum(rms, 1e-20)), 0.0)
+    need_comp = dr_db > 40.0
+    ratio = jnp.where(need_comp, jnp.minimum(MAX_COMPRESSION, dr_db / 40.0),
+                      1.0)
+    thr = (rms * 2.0)[:, None]
+    absw = jnp.abs(wave)
+    compressed = jnp.where(
+        absw > thr, jnp.sign(wave) * (thr + (absw - thr) / ratio[:, None]),
+        wave)
+    out = jnp.where(need_comp[:, None], compressed, wave)
+
+    adj = jnp.clip(TARGET_LUFS - lufs_orig, -MAX_GAIN_DB, MAX_GAIN_DB)
+    out = out * (10.0 ** (adj / 20.0))[:, None]
+    new_peak = jnp.max(jnp.abs(out) * mask, axis=-1)
+    peak_red = jnp.where(peak > 0,
+                         20.0 * jnp.log10(jnp.maximum(new_peak, 1e-20)
+                                          / jnp.maximum(peak, 1e-20)), 0.0)
+    return out, lufs_orig, adj, peak_red, ratio
+
+
+@functools.partial(jax.jit, static_argnames=("sample_rate",))
+def condition_audio(wave: Array, mask: Array, *,
+                    sample_rate: int = 16000) -> tuple[Array, ConditioningStats]:
+    """Full conditioning chain (audio_conditioning.py:503-584):
+    notch → HPF → denoise → dereverb → loudness. Returns
+    (conditioned_wave, stats); stats.features is the raw 12-dim vector of
+    audio_conditioning.py:562-579 (its learned 12→32→12 projection lives in
+    the model parameter tree)."""
+    x, hum_filtered = hum_notch(wave, mask, sample_rate=sample_rate)
+
+    should_hpf, cutoff = hpf_decision(x, mask, sample_rate=sample_rate)
+    x = apply_hpf(x, mask, should_hpf, cutoff, sample_rate=sample_rate)
+    cutoff_feat = jnp.where(should_hpf, cutoff, 0.0)
+
+    snr_before = estimate_snr_energy(x, mask)
+    need_denoise = snr_before < SNR_DENOISE_THRESHOLD
+    denoised = spectral_gate_denoise(x, mask)
+    x = jnp.where(need_denoise[:, None], denoised, x)
+    orig_e = sp.masked_mean(wave ** 2, mask)
+    new_e = sp.masked_mean(x ** 2, mask)
+    denoise_gain = jnp.where(
+        need_denoise & (new_e > 0),
+        10.0 * jnp.log10(jnp.maximum(new_e, 1e-20)
+                         / jnp.maximum(orig_e, 1e-20)), 0.0)
+    snr_after = estimate_snr_energy(x, mask)
+
+    t60 = estimate_t60(x, mask, sample_rate=sample_rate)
+    x, dereverb_gain = dereverb(x, mask, t60, sample_rate=sample_rate)
+    dereverb_applied = t60 > T60_THRESHOLD
+
+    x, lufs_orig, lufs_adj, peak_red, comp_ratio = normalize_loudness(x, mask)
+    x = x * mask
+
+    features = jnp.stack([
+        hum_filtered.astype(jnp.float32),
+        should_hpf.astype(jnp.float32),
+        need_denoise.astype(jnp.float32),
+        dereverb_applied.astype(jnp.float32),
+        snr_before / 50.0,
+        snr_after / 50.0,
+        denoise_gain / 20.0,
+        t60 / 2.0,
+        (lufs_orig + 60.0) / 60.0,
+        lufs_adj / 20.0,
+        peak_red / 20.0,
+        comp_ratio / 4.0,
+    ], axis=-1)
+
+    stats = ConditioningStats(
+        hum_filtered=hum_filtered, hpf_applied=should_hpf,
+        denoise_applied=need_denoise, dereverb_applied=dereverb_applied,
+        snr_before=snr_before, snr_after=snr_after,
+        denoise_gain_db=denoise_gain, estimated_t60=t60,
+        lufs_original=lufs_orig, lufs_adjustment=lufs_adj,
+        peak_reduction_db=peak_red, compression_ratio=comp_ratio,
+        hpf_cutoff=cutoff_feat, features=features)
+    return x, stats

@@ -1,0 +1,204 @@
+"""Front-end quality gates: VAD, signal quality, content type, abstain.
+
+TPU-native re-design of /root/reference/src/models/quality_gates.py. The
+reference detaches each clip to numpy and runs librosa/webrtcvad per sample
+inside the encoder forward (quality_gates.py:464-567); here the whole gate
+battery is one batched jittable function over padded [B, T] waveforms.
+
+Parity map (reference file:line):
+  energy VAD (25ms/10ms, 30th-pct + 0.1σ, median-5 smoothing)
+                                     quality_gates.py:110-140
+  SNR from STFT edge frames (n_fft 2048, hop 512; the reference's noise
+  estimate overwrites first-10% with last-10% then averages the same array,
+  so effectively only the LAST 10% of frames — replicated)
+                                     quality_gates.py:189-216
+  clipping % (> 0.95 of peak)        quality_gates.py:218-228
+  spectral naturalness               quality_gates.py:230-246
+  content type (music, laughter)     quality_gates.py:307-344
+  abstain policy thresholds          quality_gates.py:347-389
+  quality score weights              quality_gates.py:391-411
+  8-dim quality feature vector       quality_gates.py:543-556
+  reject -> zeroed audio             quality_gates.py:561-567
+
+Language ID is text-side and stays on host (frontend/lid.py); its entropy
+and confidence enter here as per-utterance scalars.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import spectral as sp
+
+Array = jax.Array
+
+# EarlyAbstainPolicy thresholds (quality_gates.py:353-360)
+SNR_LOW, SNR_HIGH = 5.0, 10.0
+CLIPPING_MAX_PCT = 30.0
+SPEECH_LOW, SPEECH_HIGH = 0.4, 0.8
+LID_ENTROPY_MAX = 1.5
+MUSIC_MAX = 0.2
+
+REJECT, UNCERTAIN, ACCEPT = 0, 1, 2
+
+
+class QualityStats(NamedTuple):
+    speech_prob: Array           # [B]
+    snr_db: Array                # [B]
+    clipping_percent: Array      # [B]
+    spectral_naturalness: Array  # [B]
+    lid_entropy: Array           # [B]
+    lid_confidence: Array        # [B]
+    music_prob: Array            # [B]
+    laughter_prob: Array         # [B]
+    decision: Array              # [B] int32: 0 reject / 1 uncertain / 2 accept
+    quality_score: Array         # [B]
+    features: Array              # [B, 8] raw (pre-projection) feature vector
+
+
+def energy_vad(wave: Array, mask: Array, *, sample_rate: int = 16000) -> Array:
+    """Energy VAD speech probability (quality_gates.py:110-140).
+
+    25 ms frames / 10 ms hop, threshold = 30th percentile + 0.1·std of the
+    valid-frame energy distribution, median-5 smoothing; speech_prob = mean
+    over valid frames.
+    """
+    frame = int(sample_rate * 0.025)
+    hop = int(sample_rate * 0.010)
+    energy = sp.rms_frames(wave, frame_length=frame, hop=hop)        # [B, F]
+    fmask = sp.center_frame_mask(mask, hop, energy.shape[-1])
+    thr = (sp.masked_quantile(energy, fmask, 0.30)
+           + 0.1 * sp.masked_std(energy, fmask))                     # [B]
+    speech = (energy > thr[:, None]) & (fmask > 0)
+    speech = sp.median_smooth_bool(speech, size=5)
+    return sp.masked_mean(speech.astype(jnp.float32), fmask)
+
+
+def estimate_snr(wave: Array, mask: Array) -> Array:
+    """SNR from STFT edge-frame noise estimate (quality_gates.py:189-216)."""
+    S = sp.stft_mag(wave, n_fft=2048, hop=512, center=False)         # [B,F,b]
+    fmask = sp.full_frame_mask(mask, 2048, 512, S.shape[1])
+    n_valid = fmask.sum(axis=-1)                                     # [B]
+    n_noise = jnp.maximum((0.1 * n_valid).astype(jnp.int32), 1)      # [B]
+    pos = jnp.cumsum(fmask, axis=-1)                                 # 1..n rank
+    # last n_noise valid frames (reference bug: first-10% overwritten)
+    noise_sel = (pos > (n_valid - n_noise)[:, None]) & (fmask > 0)
+    signal_sel = ((pos > n_noise[:, None])
+                  & (pos <= (n_valid - n_noise)[:, None]) & (fmask > 0))
+    # degenerate rows (too few frames): fall back to all valid frames
+    has_signal = signal_sel.any(axis=-1, keepdims=True)
+    signal_sel = jnp.where(has_signal, signal_sel, fmask > 0)
+    noise_spec = sp.masked_mean(S, noise_sel[..., None].astype(S.dtype),
+                                axis=1)                              # [B, bins]
+    signal_spec = sp.masked_mean(S, signal_sel[..., None].astype(S.dtype),
+                                 axis=1)
+    signal_power = (signal_spec ** 2).mean(axis=-1)
+    noise_power = (noise_spec ** 2).mean(axis=-1)
+    snr = 10.0 * jnp.log10(signal_power / jnp.maximum(noise_power, 1e-20))
+    snr = jnp.where(noise_power > 0, snr, 50.0)
+    return jnp.clip(snr, 0.0, 50.0)
+
+
+def clipping_percent(wave: Array, mask: Array) -> Array:
+    """% of samples above 0.95 of the per-utterance peak
+    (quality_gates.py:218-228; denominator is the valid length)."""
+    peak = jnp.max(jnp.abs(wave) * mask, axis=-1, keepdims=True)
+    norm = jnp.where(peak > 0, jnp.abs(wave) / jnp.maximum(peak, 1e-12),
+                     jnp.abs(wave))
+    clipped = ((norm > 0.95) & (mask > 0)).sum(axis=-1)
+    return 100.0 * clipped / jnp.maximum(mask.sum(axis=-1), 1.0)
+
+
+def spectral_naturalness(wave: Array, mask: Array, *,
+                         sample_rate: int = 16000) -> Array:
+    """Centroid/rolloff/bandwidth heuristic score (quality_gates.py:230-246).
+
+    Note the reference compares mean rolloff (in Hz) against 0.85 — the
+    rolloff term is ~0 for any real signal; replicated as-is.
+    """
+    centroid, rolloff, bandwidth = sp.spectral_descriptors(
+        wave, mask, sample_rate=sample_rate)
+    centroid_score = 1.0 - jnp.clip(jnp.abs(centroid - 2000.0) / 2000.0, 0, 1)
+    rolloff_score = 1.0 - jnp.clip(jnp.abs(rolloff - 0.85) / 0.15, 0, 1)
+    bandwidth_score = 1.0 - jnp.clip(jnp.abs(bandwidth - 1000.0) / 1000.0, 0, 1)
+    return (centroid_score + rolloff_score + bandwidth_score) / 3.0
+
+
+def content_type(wave: Array, mask: Array, *,
+                 sample_rate: int = 16000) -> tuple[Array, Array]:
+    """(music_prob, laughter_prob) rule-based (quality_gates.py:307-344):
+    music = mean_centroid/4000, laughter = var(rms)/0.1, both clipped."""
+    centroid, _, _ = sp.spectral_descriptors(wave, mask,
+                                             sample_rate=sample_rate)
+    music = jnp.clip(centroid / 4000.0, 0.0, 1.0)
+    energy = sp.rms_frames(wave, frame_length=2048, hop=512)
+    fmask = sp.center_frame_mask(mask, 512, energy.shape[-1])
+    laughter = jnp.clip(sp.masked_var(energy, fmask) / 0.1, 0.0, 1.0)
+    return music, laughter
+
+
+def abstain_decision(snr_db, clipping_pct, speech_prob, lid_entropy,
+                     music_prob) -> Array:
+    """Vectorized EarlyAbstainPolicy.make_decision (quality_gates.py:361-389)."""
+    reject = ((snr_db < SNR_LOW) | (clipping_pct > CLIPPING_MAX_PCT)
+              | (speech_prob < SPEECH_LOW))
+    uncertain = (((snr_db >= SNR_LOW) & (snr_db < SNR_HIGH))
+                 | (lid_entropy > LID_ENTROPY_MAX) | (music_prob > MUSIC_MAX))
+    accept = ((snr_db >= SNR_HIGH) & (speech_prob >= SPEECH_HIGH)
+              & (lid_entropy < LID_ENTROPY_MAX))
+    d = jnp.where(accept, ACCEPT, UNCERTAIN)     # default 'uncertain'
+    d = jnp.where(uncertain, UNCERTAIN, d)
+    d = jnp.where(reject, REJECT, d)
+    return d.astype(jnp.int32)
+
+
+def quality_score(snr_db, speech_prob, clipping_pct, naturalness, lid_entropy,
+                  music_prob) -> Array:
+    """Weighted quality score (quality_gates.py:391-411)."""
+    snr_score = jnp.clip(snr_db / 20.0, 0, 1)
+    clip_score = 1.0 - jnp.clip(clipping_pct / 100.0, 0, 1)
+    lid_score = 1.0 - jnp.clip(lid_entropy / 2.0, 0, 1)
+    music_score = 1.0 - music_prob
+    return (0.25 * snr_score + 0.25 * speech_prob + 0.15 * clip_score
+            + 0.15 * naturalness + 0.10 * lid_score + 0.10 * music_score)
+
+
+@functools.partial(jax.jit, static_argnames=("sample_rate",))
+def quality_gates(wave: Array, mask: Array, *, lid_entropy: Array,
+                  lid_confidence: Array,
+                  sample_rate: int = 16000) -> tuple[Array, QualityStats]:
+    """Run the full gate battery; returns (processed_wave, stats).
+
+    processed_wave is zeroed where the abstain decision is 'reject'
+    (quality_gates.py:561-567). stats.features is the raw 8-dim vector of
+    quality_gates.py:543-556 — the learned 8→32→8 projection lives in the
+    model parameter tree (models/model.py feature-fusion blocks).
+    """
+    speech_prob = energy_vad(wave, mask, sample_rate=sample_rate)
+    snr_db = estimate_snr(wave, mask)
+    clip_pct = clipping_percent(wave, mask)
+    naturalness = spectral_naturalness(wave, mask, sample_rate=sample_rate)
+    music, laughter = content_type(wave, mask, sample_rate=sample_rate)
+
+    decision = abstain_decision(snr_db, clip_pct, speech_prob, lid_entropy,
+                                music)
+    score = quality_score(snr_db, speech_prob, clip_pct, naturalness,
+                          lid_entropy, music)
+    features = jnp.stack([
+        speech_prob, snr_db / 50.0, clip_pct / 100.0, naturalness,
+        lid_entropy / 2.0, lid_confidence, music, laughter], axis=-1)
+
+    processed = jnp.where((decision == REJECT)[:, None], 0.0, wave)
+    stats = QualityStats(speech_prob=speech_prob, snr_db=snr_db,
+                         clipping_percent=clip_pct,
+                         spectral_naturalness=naturalness,
+                         lid_entropy=lid_entropy,
+                         lid_confidence=lid_confidence,
+                         music_prob=music, laughter_prob=laughter,
+                         decision=decision, quality_score=score,
+                         features=features)
+    return processed, stats

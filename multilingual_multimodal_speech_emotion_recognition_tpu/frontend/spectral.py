@@ -1,0 +1,185 @@
+"""Batched, masked spectral primitives for the signal-processing front-end.
+
+The reference front-end (quality_gates.py, audio_conditioning.py) runs
+librosa/scipy per sample on the host, forcing a device→host→device round
+trip inside the audio encoder's forward
+(/root/reference/src/models/audio_encoder.py:65-88). Here every primitive
+is a pure jittable function over fixed-shape padded [B, T] waveforms with
+validity masks, so the whole front-end fuses into the device compute graph.
+
+Conventions: `mask` is [B, T] float {0,1}; all per-utterance statistics are
+masked reductions over valid samples/frames only, reproducing the
+reference's per-sample unpadded semantics.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+def hann_window(n: int) -> np.ndarray:
+    """Periodic Hann window (scipy.signal.get_window('hann', n))."""
+    return (0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / n)).astype(np.float32)
+
+
+def frame_signal(wave: Array, frame_length: int, hop: int) -> Array:
+    """[B, T] -> [B, F, frame_length] by strided gather (no centering)."""
+    T = wave.shape[-1]
+    num_frames = max(1 + (T - frame_length) // hop, 1)
+    idx = np.arange(num_frames)[:, None] * hop + np.arange(frame_length)[None, :]
+    idx = np.minimum(idx, T - 1)
+    return wave[..., idx]
+
+
+def frame_valid_mask(mask: Array, frame_length: int, hop: int,
+                     min_coverage: float = 0.5) -> Array:
+    """[B, T] sample mask -> [B, F] frame validity (frame mostly valid)."""
+    frames = frame_signal(mask, frame_length, hop)
+    return (frames.mean(axis=-1) >= min_coverage).astype(mask.dtype)
+
+
+def center_frame_mask(mask: Array, hop: int, num_frames: int) -> Array:
+    """Exact frame set of a CENTERED framing of the unpadded signal:
+    frame i exists iff i*hop <= valid_len (librosa yields 1 + L//hop
+    frames). Guarantees padding invariance of downstream masked stats."""
+    valid_len = mask.sum(axis=-1, keepdims=True)
+    starts = jnp.arange(num_frames, dtype=mask.dtype)[None, :] * hop
+    return (starts <= valid_len).astype(mask.dtype)
+
+
+def full_frame_mask(mask: Array, frame_length: int, hop: int,
+                    num_frames: int) -> Array:
+    """Exact frame set of an UNCENTERED framing of the unpadded signal:
+    frame i exists iff i*hop + frame_length <= valid_len."""
+    valid_len = mask.sum(axis=-1, keepdims=True)
+    ends = (jnp.arange(num_frames, dtype=mask.dtype)[None, :] * hop
+            + frame_length)
+    out = (ends <= valid_len).astype(mask.dtype)
+    # degenerate short rows: keep frame 0
+    return out.at[..., 0].set(jnp.maximum(out[..., 0], 1.0))
+
+
+def stft_mag(wave: Array, *, n_fft: int = 2048, hop: int = 512,
+             center: bool = True) -> Array:
+    """Magnitude STFT, librosa semantics (hann window, reflect-pad center).
+
+    [B, T] -> [B, F, n_fft//2 + 1].
+    """
+    if center:
+        wave = jnp.pad(wave, [(0, 0)] * (wave.ndim - 1) + [(n_fft // 2, n_fft // 2)],
+                       mode="reflect")
+    frames = frame_signal(wave, n_fft, hop)
+    win = jnp.asarray(hann_window(n_fft))
+    return jnp.abs(jnp.fft.rfft(frames * win, axis=-1))
+
+
+def stft_frame_mask(mask: Array, *, n_fft: int = 2048, hop: int = 512,
+                    center: bool = True) -> Array:
+    """Exact frame validity aligned with stft_mag's framing (padding-
+    invariant: the frame set equals what the unpadded signal would have)."""
+    T = mask.shape[-1]
+    if center:
+        num_frames = max(1 + (T + 2 * (n_fft // 2) - n_fft) // hop, 1)
+        return center_frame_mask(mask, hop, num_frames)
+    num_frames = max(1 + (T - n_fft) // hop, 1)
+    return full_frame_mask(mask, n_fft, hop, num_frames)
+
+
+def rms_frames(wave: Array, *, frame_length: int, hop: int) -> Array:
+    """Per-frame RMS energy (librosa.feature.rms semantics, center=True,
+    zero padding). [B, T] -> [B, F]."""
+    pad = frame_length // 2
+    w = jnp.pad(wave, [(0, 0)] * (wave.ndim - 1) + [(pad, pad)])
+    frames = frame_signal(w, frame_length, hop)
+    return jnp.sqrt(jnp.mean(frames ** 2, axis=-1))
+
+
+def masked_mean(x: Array, mask: Array, axis=-1, eps: float = 1e-10) -> Array:
+    return (x * mask).sum(axis=axis) / (mask.sum(axis=axis) + eps)
+
+
+def masked_var(x: Array, mask: Array, axis=-1, eps: float = 1e-10) -> Array:
+    mu = masked_mean(x, mask, axis=axis, eps=eps)
+    return masked_mean((x - jnp.expand_dims(mu, axis)) ** 2, mask, axis=axis,
+                       eps=eps)
+
+
+def masked_std(x: Array, mask: Array, axis=-1, eps: float = 1e-10) -> Array:
+    return jnp.sqrt(masked_var(x, mask, axis=axis, eps=eps))
+
+
+def masked_quantile(x: Array, mask: Array, q: float) -> Array:
+    """Per-row quantile over valid entries (linear interpolation, matching
+    np.percentile). x, mask: [B, N] -> [B]."""
+    big = jnp.finfo(x.dtype).max
+    xs = jnp.sort(jnp.where(mask > 0, x, big), axis=-1)
+    n = mask.sum(axis=-1)
+    pos = q * jnp.maximum(n - 1.0, 0.0)
+    lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, x.shape[-1] - 1)
+    hi = jnp.clip(lo + 1, 0, x.shape[-1] - 1)
+    frac = pos - lo.astype(pos.dtype)
+    vlo = jnp.take_along_axis(xs, lo[:, None], axis=-1)[:, 0]
+    vhi = jnp.take_along_axis(xs, hi[:, None], axis=-1)[:, 0]
+    vhi = jnp.where(hi.astype(pos.dtype) <= pos, vlo, vhi)  # guard n==1 rows
+    return vlo + frac * (vhi - vlo)
+
+
+def median_smooth_bool(x: Array, size: int = 5) -> Array:
+    """Median filter over a boolean sequence == windowed majority vote
+    (scipy.ndimage.median_filter(size) on {0,1}, reflect boundary)."""
+    pad = size // 2
+    xp = jnp.pad(x.astype(jnp.float32),
+                 [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="edge")
+    kernel = jnp.ones((size,), jnp.float32)
+    summed = jax.vmap(lambda r: jnp.convolve(r, kernel, mode="valid"))(xp)
+    return summed > (size / 2.0)
+
+
+def welch_psd(wave: Array, mask: Array, *, sample_rate: int,
+              nperseg: int = 2048) -> tuple[np.ndarray, Array]:
+    """Batched masked Welch PSD (scipy.signal.welch semantics: hann window,
+    50% overlap, constant detrend, density scaling).
+
+    Returns (freqs [n_bins] np, psd [B, n_bins]).
+    """
+    T = wave.shape[-1]
+    nperseg = min(nperseg, T)
+    hop = nperseg // 2
+    frames = frame_signal(wave, nperseg, hop)                    # [B, F, n]
+    fmask = full_frame_mask(mask, nperseg, hop, frames.shape[-2])
+    frames = frames - frames.mean(axis=-1, keepdims=True)        # detrend
+    win = jnp.asarray(hann_window(nperseg))
+    spec = jnp.abs(jnp.fft.rfft(frames * win, axis=-1)) ** 2     # [B, F, bins]
+    scale = 1.0 / (sample_rate * float((hann_window(nperseg) ** 2).sum()))
+    spec = spec * scale
+    spec = spec.at[..., 1:-1].mul(2.0)
+    psd = masked_mean(spec, fmask[..., None], axis=-2)           # avg segments
+    freqs = np.fft.rfftfreq(nperseg, d=1.0 / sample_rate)
+    return freqs, psd
+
+
+@functools.partial(jax.jit, static_argnames=("sample_rate", "n_fft", "hop"))
+def spectral_descriptors(wave: Array, mask: Array, *, sample_rate: int = 16000,
+                         n_fft: int = 2048, hop: int = 512):
+    """Masked means of librosa-style spectral centroid / rolloff (85%) /
+    bandwidth over valid frames. [B, T] -> three [B] arrays."""
+    S = stft_mag(wave, n_fft=n_fft, hop=hop)                     # [B, F, bins]
+    fmask = stft_frame_mask(mask, n_fft=n_fft, hop=hop)          # [B, F]
+    freqs = jnp.asarray(np.fft.rfftfreq(n_fft, d=1.0 / sample_rate),
+                        dtype=S.dtype)
+    norm = S.sum(axis=-1) + 1e-10
+    centroid = (S * freqs).sum(axis=-1) / norm                   # [B, F]
+    # rolloff: smallest freq with cumulative energy >= 0.85 * total
+    cum = jnp.cumsum(S, axis=-1)
+    reach = cum >= 0.85 * cum[..., -1:]
+    roll_idx = jnp.argmax(reach, axis=-1)
+    rolloff = freqs[roll_idx]
+    bandwidth = jnp.sqrt(((freqs - centroid[..., None]) ** 2 * S).sum(-1) / norm)
+    return (masked_mean(centroid, fmask), masked_mean(rolloff, fmask),
+            masked_mean(bandwidth, fmask))

@@ -1,0 +1,265 @@
+"""Front-end tests: spectral primitives vs scipy, padding invariance of the
+batched masked implementations, abstain-policy logic, LID, end-to-end
+frontend_process sanity."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import scipy.signal as sps
+
+from multilingual_multimodal_speech_emotion_recognition_tpu.frontend import (
+    conditioning as cond, lid, quality_gates as qg, spectral as sp,
+    frontend_process)
+
+RNG = np.random.default_rng(42)
+SR = 16000
+
+
+def speech_like(T, seed=0):
+    """Modulated multi-tone + noise, roughly speech-shaped."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(T) / SR
+    env = 0.5 + 0.5 * np.sin(2 * np.pi * 3.0 * t)
+    x = env * (0.4 * np.sin(2 * np.pi * 220 * t)
+               + 0.2 * np.sin(2 * np.pi * 880 * t)
+               + 0.1 * np.sin(2 * np.pi * 1760 * t))
+    x += 0.01 * rng.standard_normal(T)
+    return x.astype(np.float32)
+
+
+def padded_batch(signals, T_pad):
+    B = len(signals)
+    wave = np.zeros((B, T_pad), np.float32)
+    mask = np.zeros((B, T_pad), np.float32)
+    for i, s in enumerate(signals):
+        wave[i, :len(s)] = s
+        mask[i, :len(s)] = 1.0
+    return jnp.asarray(wave), jnp.asarray(mask)
+
+
+# ---------------------------------------------------------------- spectral
+
+def test_masked_quantile_matches_numpy():
+    x = RNG.standard_normal((3, 500)).astype(np.float32)
+    mask = np.zeros((3, 500), np.float32)
+    lens = [500, 320, 77]
+    for i, L in enumerate(lens):
+        mask[i, :L] = 1
+    for q in (0.1, 0.3, 0.5, 0.9):
+        got = np.asarray(sp.masked_quantile(jnp.asarray(x), jnp.asarray(mask), q))
+        want = np.array([np.percentile(x[i, :lens[i]], q * 100) for i in range(3)])
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_welch_psd_matches_scipy():
+    x = speech_like(SR)  # exactly 1s, no padding
+    wave = jnp.asarray(x)[None, :]
+    mask = jnp.ones_like(wave)
+    freqs, psd = sp.welch_psd(wave, mask, sample_rate=SR, nperseg=2048)
+    f_ref, p_ref = sps.welch(x, fs=SR, nperseg=2048)
+    np.testing.assert_allclose(freqs, f_ref, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(psd)[0], p_ref, rtol=2e-2, atol=1e-12)
+
+
+def test_notch_response_matches_scipy_filtfilt():
+    T = SR
+    t = np.arange(T) / SR
+    x = (np.sin(2 * np.pi * 60.0 * t)
+         + 0.5 * np.sin(2 * np.pi * 1000.0 * t)).astype(np.float32)
+    resp = cond._notch_mag_sq(T, SR, 60.0, 30.0)
+    got = np.asarray(cond._zero_phase_apply(jnp.asarray(x)[None], resp))[0]
+    # frequency-response parity with scipy's iirnotch design: |H|² on the
+    # rfft grid (time-domain filtfilt has a multi-second transient at Q=30,
+    # so sample-wise comparison on short signals is not meaningful)
+    b, a = sps.iirnotch(60.0, 30.0, fs=SR)
+    w, h = sps.freqz(b, a, worN=np.fft.rfftfreq(T, 1 / SR), fs=SR)
+    np.testing.assert_allclose(resp, np.abs(h) ** 2, atol=1e-6)
+    # the 60 Hz line must be strongly attenuated
+    def band_power(sig, f0):
+        f, p = sps.welch(sig, fs=SR, nperseg=2048)
+        return p[np.argmin(np.abs(f - f0))]
+    assert band_power(got, 60.0) < 1e-3 * band_power(x, 60.0)
+    assert band_power(got, 1000.0) > 0.8 * band_power(x, 1000.0)
+
+
+def test_butter_hpf_response_matches_scipy():
+    T = SR
+    x = speech_like(T, seed=3) + 0.3 * np.sin(
+        2 * np.pi * 40.0 * np.arange(T) / SR).astype(np.float32)
+    cutoff = jnp.asarray([90.0])
+    resp = cond._butter_hp_mag_sq(T, SR, cutoff)
+    got = np.asarray(cond._zero_phase_apply(jnp.asarray(x)[None], resp[0]))[0]
+    b, a = sps.butter(4, 90.0 / (SR / 2), btype="high")
+    want = sps.filtfilt(b, a, x)
+    sl = slice(SR // 10, -SR // 10)
+    np.testing.assert_allclose(got[sl], want[sl], atol=2e-2)
+
+
+def test_spectral_descriptors_finite_and_reasonable():
+    wave, mask = padded_batch([speech_like(SR), speech_like(SR // 2, 1)],
+                              T_pad=SR)
+    c, r, b = sp.spectral_descriptors(wave, mask, sample_rate=SR)
+    for v in (c, r, b):
+        assert np.isfinite(np.asarray(v)).all()
+    assert 100 < float(c[0]) < 4000  # speech-ish centroid
+
+
+# ---------------------------------------------------- padding invariance
+
+def test_quality_gates_padding_invariance():
+    s = speech_like(int(0.7 * SR), seed=7)
+    w1, m1 = padded_batch([s], T_pad=len(s))
+    w2, m2 = padded_batch([s, speech_like(SR, 8)], T_pad=SR)
+    ent = jnp.asarray([1.053, 1.053])
+    conf = jnp.asarray([0.636, 0.636])
+    _, st1 = qg.quality_gates(w1, m1, lid_entropy=ent[:1],
+                              lid_confidence=conf[:1], sample_rate=SR)
+    _, st2 = qg.quality_gates(w2, m2, lid_entropy=ent, lid_confidence=conf,
+                              sample_rate=SR)
+    np.testing.assert_allclose(float(st1.clipping_percent[0]),
+                               float(st2.clipping_percent[0]), atol=1e-3)
+    np.testing.assert_allclose(float(st1.snr_db[0]), float(st2.snr_db[0]),
+                               atol=1.0)
+    np.testing.assert_allclose(float(st1.speech_prob[0]),
+                               float(st2.speech_prob[0]), atol=0.05)
+
+
+def test_conditioning_padding_invariance():
+    s = speech_like(int(0.8 * SR), seed=11)
+    w1, m1 = padded_batch([s], T_pad=len(s))
+    w2, m2 = padded_batch([s, speech_like(SR, 12)], T_pad=SR)
+    o1, st1 = cond.condition_audio(w1, m1, sample_rate=SR)
+    o2, st2 = cond.condition_audio(w2, m2, sample_rate=SR)
+    np.testing.assert_allclose(float(st1.lufs_original[0]),
+                               float(st2.lufs_original[0]), atol=0.1)
+    np.testing.assert_allclose(float(st1.snr_before[0]),
+                               float(st2.snr_before[0]), atol=1.0)
+    np.testing.assert_allclose(np.asarray(o1)[0, :1000],
+                               np.asarray(o2)[0, :1000], atol=2e-2)
+
+
+# ------------------------------------------------------------ gate logic
+
+def test_clipping_percent_exact():
+    x = np.zeros(1000, np.float32)
+    x[:100] = 1.0   # exactly at peak -> |norm| == 1 > 0.95
+    x[100:200] = 0.5
+    wave, mask = padded_batch([x], T_pad=1200)
+    got = float(qg.clipping_percent(wave, mask)[0])
+    np.testing.assert_allclose(got, 10.0, atol=0.01)
+
+
+def test_abstain_policy_matrix():
+    snr = jnp.asarray([3.0, 7.0, 15.0, 15.0])
+    clip = jnp.asarray([0.0, 0.0, 0.0, 40.0])
+    speech = jnp.asarray([0.9, 0.9, 0.9, 0.9])
+    ent = jnp.asarray([1.0, 1.0, 1.0, 1.0])
+    music = jnp.asarray([0.0, 0.0, 0.0, 0.0])
+    d = np.asarray(qg.abstain_decision(snr, clip, speech, ent, music))
+    assert list(d) == [qg.REJECT, qg.UNCERTAIN, qg.ACCEPT, qg.REJECT]
+
+
+def test_reject_zeroes_audio():
+    # pure near-silence with one clipped spike -> reject, audio zeroed
+    x = 0.0001 * RNG.standard_normal(8000).astype(np.float32)
+    wave, mask = padded_batch([x], T_pad=8000)
+    processed, st = qg.quality_gates(wave, mask, lid_entropy=jnp.asarray([1.5]),
+                                     lid_confidence=jnp.asarray([0.0]),
+                                     sample_rate=SR)
+    if int(st.decision[0]) == qg.REJECT:
+        assert float(jnp.abs(processed).max()) == 0.0
+    feats = np.asarray(st.features)
+    assert feats.shape == (1, 8) and np.isfinite(feats).all()
+
+
+def test_quality_score_weights():
+    s = qg.quality_score(jnp.asarray([20.0]), jnp.asarray([1.0]),
+                         jnp.asarray([0.0]), jnp.asarray([1.0]),
+                         jnp.asarray([0.0]), jnp.asarray([0.0]))
+    np.testing.assert_allclose(float(s[0]), 1.0, atol=1e-6)
+
+
+# ---------------------------------------------------------- conditioning
+
+def test_hum_notch_removes_detected_hum():
+    T = 2 * SR
+    t = np.arange(T) / SR
+    x = (0.8 * np.sin(2 * np.pi * 50.0 * t)
+         + 0.05 * speech_like(T, 5)).astype(np.float32)
+    wave, mask = padded_batch([x], T_pad=T)
+    out, any_hum = cond.hum_notch(wave, mask, sample_rate=SR)
+    assert bool(any_hum[0])
+    f, p_in = sps.welch(x, fs=SR, nperseg=2048)
+    _, p_out = sps.welch(np.asarray(out)[0], fs=SR, nperseg=2048)
+    i50 = np.argmin(np.abs(f - 50.0))
+    assert p_out[i50] < 0.01 * p_in[i50]
+
+
+def test_lufs_normalization_moves_toward_target():
+    x = 0.001 * speech_like(SR, 6)   # very quiet -> gain up (clamped +6dB)
+    wave, mask = padded_batch([x], T_pad=SR)
+    out, lufs_orig, adj, _, ratio = cond.normalize_loudness(wave, mask)
+    assert float(adj[0]) == pytest.approx(6.0)  # clamp
+    rms_in = np.sqrt((x ** 2).mean())
+    rms_out = np.sqrt((np.asarray(out)[0] ** 2).mean())
+    np.testing.assert_allclose(rms_out / rms_in, 10 ** (6.0 / 20), rtol=1e-3)
+    assert float(ratio[0]) == pytest.approx(1.0)
+
+
+def test_estimate_t60_low_for_short_dry_audio():
+    x = speech_like(SR // 2, 9)
+    wave, mask = padded_batch([x], T_pad=SR)
+    t60 = float(cond.estimate_t60(wave, mask, sample_rate=SR)[0])
+    assert t60 == pytest.approx(0.1)
+
+
+def test_denoise_reduces_noise_energy():
+    # noise-only edges (where the noise profile is estimated,
+    # audio_conditioning.py:225-236), tone in the middle
+    T = 2 * SR
+    t = np.arange(T) / SR
+    clean = np.zeros(T, np.float32)
+    mid = slice(int(0.15 * T), int(0.85 * T))
+    clean[mid] = 0.3 * np.sin(2 * np.pi * 440 * t[mid]).astype(np.float32)
+    noisy = clean + 0.05 * RNG.standard_normal(T).astype(np.float32)
+    wave, mask = padded_batch([noisy], T_pad=T)
+    out = np.asarray(cond.spectral_gate_denoise(wave, mask))[0]
+    err_in = ((noisy - clean) ** 2).mean()
+    err_out = ((out - clean) ** 2).mean()
+    assert err_out < 0.6 * err_in
+
+
+# ------------------------------------------------------------------- LID
+
+def test_lid_known_languages():
+    e, l, c = lid.identify_language("the cat is on the mat and it is happy")
+    assert l == "en" and c == pytest.approx(0.7 / 1.15, abs=1e-6)
+    e_ru, l_ru, _ = lid.identify_language("привет как дела сегодня")
+    assert l_ru == "ru"
+    e_zh, l_zh, _ = lid.identify_language("今天天气很好")
+    assert l_zh == "zh"
+    e_empty, l_empty, c_empty = lid.identify_language("")
+    assert (e_empty, l_empty, c_empty) == (1.5, "unknown", 0.0)
+    # detected-language entropy is the simulated-distribution constant
+    probs = lid.simulated_distribution("en")
+    want = -sum(p * np.log(p + 1e-10) for p in probs)
+    assert e == pytest.approx(want)
+
+
+# ----------------------------------------------------------- integration
+
+def test_frontend_process_end_to_end():
+    sigs = [speech_like(SR, i) for i in range(3)]
+    wave, mask = padded_batch(sigs, T_pad=SR)
+    ents, langs, confs = lid.batch_lid(["hello there", "", "the dog runs"])
+    out, qf, cf, stats = frontend_process(
+        wave, mask, lid_entropy=jnp.asarray(ents, jnp.float32),
+        lid_confidence=jnp.asarray(confs, jnp.float32), sample_rate=SR)
+    assert out.shape == wave.shape
+    assert qf.shape == (3, 8) and cf.shape == (3, 12)
+    assert np.isfinite(np.asarray(out)).all()
+    assert np.isfinite(np.asarray(qf)).all()
+    assert np.isfinite(np.asarray(cf)).all()
+    # padded region stays zero
+    assert float(jnp.abs(out * (1 - mask)).max()) == 0.0
