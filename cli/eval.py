@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Evaluation CLI.
+
+Flag-compatible with /root/reference/src/eval.py:71-79 (--manifest,
+--checkpoint, --batch_size, --use_tta, --num_tta, --calibrate,
+--val_manifest). The checkpoint's embedded config restores the exact model
+that was trained (the reference instead hardcodes num_labels=6 at
+eval.py:100-107, breaking 4-class checkpoints — documented divergence).
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--manifest", type=str, required=True)
+    p.add_argument("--checkpoint", type=str, required=True)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--use_tta", action="store_true")
+    p.add_argument("--num_tta", type=int, default=5)
+    p.add_argument("--calibrate", action="store_true")
+    p.add_argument("--val_manifest", type=str, default=None)
+    p.add_argument("--dataset_root", type=str, default=None)
+    p.add_argument("--platform", type=str, default=None)
+    args = p.parse_args()
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    import dataclasses
+    from multilingual_multimodal_speech_emotion_recognition_tpu import config as cfg_lib
+    from multilingual_multimodal_speech_emotion_recognition_tpu.eval import evaluate
+    from multilingual_multimodal_speech_emotion_recognition_tpu.train import checkpoint as ckpt
+
+    cfg_json = ckpt.load_config_json(args.checkpoint)
+    cfg = cfg_lib.from_json(cfg_json) if cfg_json else cfg_lib.Config()
+    if args.dataset_root:
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, dataset_root=args.dataset_root))
+
+    params, _, meta = ckpt.restore_checkpoint(args.checkpoint)
+    print(f"Loaded checkpoint: {args.checkpoint} "
+          f"(epoch {meta.get('epoch')}, f1 {meta.get('f1')})")
+
+    evaluate.evaluate_manifest(
+        params, cfg, args.manifest, batch_size=args.batch_size,
+        use_tta=args.use_tta, num_tta=args.num_tta, calibrate=args.calibrate,
+        val_manifest=args.val_manifest)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Training CLI.
+
+Flag-compatible with /root/reference/src/train.py:27-39 (--train_manifest,
+--val_manifest, --epochs, --batch_size, --lr, --warmup_ratio, --use_amp,
+--augment, --proto_weight, --save_dir, --resume_from), plus the
+train_crema.py knobs as options (--num_labels 6, --scheduler
+cosine_restarts, --grad_clip, --early_stop_patience, --seed).
+
+--use_amp maps to bf16 compute (no GradScaler needed on TPU).
+"""
+
+import argparse
+import dataclasses
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--train_manifest", type=str, default="train_70.jsonl")
+    p.add_argument("--val_manifest", type=str, default="val_20.jsonl")
+    p.add_argument("--epochs", type=int, default=5)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--warmup_ratio", type=float, default=0.1)
+    p.add_argument("--use_amp", action="store_true",
+                   help="bf16 compute (TPU-native AMP; no loss scaler)")
+    p.add_argument("--augment", action="store_true")
+    p.add_argument("--proto_weight", type=float, default=0.05)
+    p.add_argument("--save_dir", type=str, default="checkpoints")
+    p.add_argument("--resume_from", type=str, default=None)
+    # extensions (presets from train_crema*.py)
+    p.add_argument("--num_labels", type=int, default=4)
+    p.add_argument("--scheduler", choices=["warmup_cosine", "cosine_restarts"],
+                   default="warmup_cosine")
+    p.add_argument("--grad_clip", type=float, default=None)
+    p.add_argument("--early_stop_patience", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dataset_root", type=str, default="datasets")
+    p.add_argument("--supcon_weight", type=float, default=0.0)
+    p.add_argument("--no_quality_gates", action="store_true")
+    p.add_argument("--no_audio_conditioning", action="store_true")
+    p.add_argument("--wav2vec2_checkpoint", type=str, default=None,
+                   help="path or HF name for pretrained audio backbone")
+    p.add_argument("--xlmr_checkpoint", type=str, default=None)
+    p.add_argument("--platform", type=str, default=None,
+                   help="override jax platform (e.g. cpu for testing)")
+    args = p.parse_args()
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    from multilingual_multimodal_speech_emotion_recognition_tpu.config import (
+        Config, DataConfig, ModelConfig, TrainConfig)
+    from multilingual_multimodal_speech_emotion_recognition_tpu.train import loop
+
+    cfg = Config(
+        model=ModelConfig(
+            num_labels=args.num_labels,
+            compute_dtype="bfloat16" if args.use_amp else "float32",
+            use_quality_gates=not args.no_quality_gates,
+            use_audio_conditioning=not args.no_audio_conditioning),
+        data=DataConfig(dataset_root=args.dataset_root),
+        train=TrainConfig(
+            epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,
+            warmup_ratio=args.warmup_ratio, augment=args.augment,
+            proto_weight=args.proto_weight, save_dir=args.save_dir,
+            resume_from=args.resume_from, scheduler=args.scheduler,
+            grad_clip=args.grad_clip, seed=args.seed,
+            supcon_weight=args.supcon_weight,
+            early_stop_patience=args.early_stop_patience))
+
+    pretrained = {}
+    if args.wav2vec2_checkpoint:
+        from transformers import Wav2Vec2Model
+        pretrained["wav2vec2_state"] = Wav2Vec2Model.from_pretrained(
+            args.wav2vec2_checkpoint).state_dict()
+    if args.xlmr_checkpoint:
+        from transformers import AutoModel
+        pretrained["xlmr_state"] = AutoModel.from_pretrained(
+            args.xlmr_checkpoint).state_dict()
+
+    result = loop.train(cfg, train_manifest=args.train_manifest,
+                        val_manifest=args.val_manifest,
+                        pretrained=pretrained or None)
+    print(f"Best F1: {result['best_f1']:.4f}")
+
+
+if __name__ == "__main__":
+    main()

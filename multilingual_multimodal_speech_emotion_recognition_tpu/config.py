@@ -30,6 +30,10 @@ class ModelConfig:
     use_quality_gates: bool = True      # audio_encoder.py:9-11 defaults
     use_audio_conditioning: bool = True
     use_asr: bool = False               # text_encoder.py:8 default
+    # run the device-side gates/conditioning DSP inside the forward when the
+    # batch doesn't carry precomputed quality_feats/cond_feats (the
+    # reference runs them inside AudioEncoder.forward, audio_encoder.py:65-88)
+    frontend_dsp: bool = True
     audio: Wav2Vec2Config = dataclasses.field(default_factory=Wav2Vec2Config)
     text: XLMRConfig = dataclasses.field(default_factory=XLMRConfig)
     compute_dtype: str = "float32"      # "bfloat16" on TPU hot path

@@ -23,8 +23,13 @@ from typing import Dict, Iterator, List, Optional, Sequence
 import numpy as np
 
 from ..config import DataConfig
+from ..frontend import lid as lid_mod
 from . import audio_io, manifest as manifest_lib
 from .tokenizer import Tokenizer, get_tokenizer
+
+# batch keys that stay on host: eval steps also drop labels
+TRAIN_HOST_KEYS = ("example_mask", "indices")
+EVAL_HOST_KEYS = ("labels", "example_mask", "indices")
 
 
 @dataclass
@@ -142,16 +147,17 @@ class BucketedLoader:
 
             pending = None
             for plan in batch_plans:
-                nxt = submit(plan)
+                nxt = (plan[0], plan[1], submit(plan)[1])
                 if pending is not None:
-                    bi, futs = pending
-                    yield self._assemble(bi, [f.result() for f in futs])
+                    bi, idxs, futs = pending
+                    yield self._assemble(bi, [f.result() for f in futs], idxs)
                 pending = nxt
             if pending is not None:
-                bi, futs = pending
-                yield self._assemble(bi, [f.result() for f in futs])
+                bi, idxs, futs = pending
+                yield self._assemble(bi, [f.result() for f in futs], idxs)
 
-    def _assemble(self, bucket_idx: int, loaded: list) -> dict:
+    def _assemble(self, bucket_idx: int, loaded: list,
+                  idxs: Optional[List[int]] = None) -> dict:
         T = self.bucket_samples[bucket_idx]
         B = self.batch_size
 
@@ -159,6 +165,7 @@ class BucketedLoader:
         audio_mask = np.zeros((B, T), np.float32)
         labels = np.zeros((B,), np.int32)
         example_mask = np.zeros((B,), np.float32)
+        indices = np.full((B,), -1, np.int32)
         texts = [""] * B
         for r, (wav, text, label) in enumerate(loaded):
             L = min(len(wav), T)
@@ -167,14 +174,22 @@ class BucketedLoader:
             labels[r] = label
             texts[r] = text
             example_mask[r] = 1.0
+            if idxs is not None and r < len(idxs):
+                indices[r] = idxs[r]
         # padded rows must stay valid inputs (fully-masked rows would NaN in
         # masked softmax): give them 1 valid audio sample and BOS/EOS text.
         for r in range(len(loaded), B):
             audio_mask[r, 0] = 1.0
 
+        # host-side language ID scalars feeding the device quality gates
+        # (the text side of quality_gates.py:508-515)
+        ents, _, confs = lid_mod.batch_lid(texts)
         ids, tmask = self.tokenizer.encode_batch(texts, self.ds.cfg.max_text_tokens)
         return {
             "audio": audio, "audio_mask": audio_mask,
             "text_ids": ids, "text_mask": tmask,
+            "lid_entropy": np.asarray(ents, np.float32),
+            "lid_conf": np.asarray(confs, np.float32),
             "labels": labels, "example_mask": example_mask,
+            "indices": indices,
         }

@@ -56,9 +56,13 @@ class HashTokenizer:
 class HFTokenizer:
     """Wrapper over a locally-available HF tokenizer (sentencepiece)."""
 
-    def __init__(self, name_or_path: str = "xlm-roberta-base"):
+    def __init__(self, name_or_path: str = "xlm-roberta-base",
+                 local_files_only: bool = True):
+        # local_files_only avoids minutes of HTTP retries on air-gapped
+        # hosts; pass False explicitly to allow a hub download.
         from transformers import AutoTokenizer
-        self._tok = AutoTokenizer.from_pretrained(name_or_path)
+        self._tok = AutoTokenizer.from_pretrained(
+            name_or_path, local_files_only=local_files_only)
         self.pad_id = self._tok.pad_token_id
 
     def encode_batch(self, texts: Sequence[str], max_len: int

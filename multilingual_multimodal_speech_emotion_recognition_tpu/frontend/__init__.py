@@ -14,14 +14,16 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from . import conditioning, lid, quality_gates, spectral
+from . import asr, conditioning, lid, quality_gates, spectral
+from .asr import ASRResult, EnhancedASRIntegration, create_enhanced_asr
 from .conditioning import ConditioningStats, condition_audio
 from .lid import batch_lid, identify_language
 from .quality_gates import QualityStats, quality_gates as run_quality_gates
 
 __all__ = [
-    "ConditioningStats", "QualityStats", "batch_lid", "condition_audio",
-    "conditioning", "frontend_process", "identify_language", "lid",
+    "ASRResult", "ConditioningStats", "EnhancedASRIntegration",
+    "QualityStats", "asr", "batch_lid", "condition_audio", "conditioning",
+    "create_enhanced_asr", "frontend_process", "identify_language", "lid",
     "quality_gates", "run_quality_gates", "spectral",
 ]
 

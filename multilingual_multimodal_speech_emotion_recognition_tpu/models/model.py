@@ -180,10 +180,29 @@ def model_forward(params: dict, cfg: ModelConfig, batch: dict, *,
     else:
         k_a = k_t = k_x = k_fu = k_c = None
 
+    wave = batch["audio"]
+    wave_mask = batch["audio_mask"]
+    quality_feats = batch.get("quality_feats")
+    cond_feats = batch.get("cond_feats")
+    # Device-side front-end DSP, replacing the per-sample host loop the
+    # reference runs inside AudioEncoder.forward (audio_encoder.py:65-88):
+    # gates may zero rejected audio; conditioning filters feed the encoder.
+    if (cfg.frontend_dsp and (cfg.use_quality_gates or cfg.use_audio_conditioning)
+            and quality_feats is None and cond_feats is None):
+        from ..frontend import frontend_process
+        B = wave.shape[0]
+        # no-text LID fallback = entropy 1.0, conf 0 (quality_gates.py:510-512)
+        ent = batch.get("lid_entropy", jnp.full((B,), 1.0, jnp.float32))
+        conf = batch.get("lid_conf", jnp.zeros((B,), jnp.float32))
+        wave, quality_feats, cond_feats, _ = frontend_process(
+            wave.astype(jnp.float32), wave_mask.astype(jnp.float32),
+            lid_entropy=ent, lid_confidence=conf,
+            use_gates=cfg.use_quality_gates,
+            use_conditioning=cfg.use_audio_conditioning)
+
     a_seq, a_mask = encode_audio(
-        p, cfg, batch["audio"].astype(dtype), batch["audio_mask"],
-        quality_feats=batch.get("quality_feats"),
-        cond_feats=batch.get("cond_feats"),
+        p, cfg, wave.astype(dtype), wave_mask,
+        quality_feats=quality_feats, cond_feats=cond_feats,
         deterministic=deterministic, dropout_key=k_a,
         spec_augment=spec_augment)
     t_seq, t_mask = encode_text(

@@ -1,0 +1,108 @@
+"""Checkpoint save/restore.
+
+TPU-native replacement for the reference's flat torch.save dict of 8 module
+state_dicts + optimizer + scheduler + epoch + f1
+(/root/reference/src/train.py:247-263): a single pytree {params, opt_state,
+step, epoch, f1, config_json} written with orbax (async-capable, atomic),
+with a numpy .npz fallback so checkpoints remain readable anywhere.
+
+Retention policies mirror the reference variants: per-epoch (train.py:263),
+best-F1 + periodic (train_crema.py:459-505).
+"""
+
+from __future__ import annotations
+
+import json
+import pickle
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+def _to_numpy_tree(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path: str | Path, *, params, opt_state=None, step: int = 0,
+                    epoch: int = 0, f1: float = 0.0,
+                    config_json: Optional[str] = None,
+                    extra: Optional[Dict[str, Any]] = None) -> Path:
+    """Write a checkpoint directory. Uses orbax if available, else pickle of
+    numpy-ified pytrees (both layouts carry the same 'meta.json')."""
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    meta = {"step": int(step), "epoch": int(epoch), "f1": float(f1)}
+    if extra:
+        meta.update(extra)
+    (path / "meta.json").write_text(json.dumps(meta))
+    if config_json is not None:
+        (path / "config.json").write_text(config_json)
+
+    state = {"params": _to_numpy_tree(params)}
+    if opt_state is not None:
+        state["opt_state"] = _to_numpy_tree(opt_state)
+
+    try:
+        import orbax.checkpoint as ocp
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save((path / "state").absolute(), state, force=True)
+        ckptr.wait_until_finished()
+    except Exception:
+        with open(path / "state.pkl", "wb") as f:
+            pickle.dump(state, f)
+    return path
+
+
+def restore_checkpoint(path: str | Path, *, params_template=None,
+                       opt_state_template=None):
+    """Returns (params, opt_state_or_None, meta_dict). Templates restore
+    exact pytree structure (required for optax namedtuple states)."""
+    path = Path(path)
+    meta = json.loads((path / "meta.json").read_text()) if (path / "meta.json").exists() else {}
+
+    state = None
+    if (path / "state.pkl").exists():
+        with open(path / "state.pkl", "rb") as f:
+            state = pickle.load(f)
+    else:
+        import orbax.checkpoint as ocp
+        ckptr = ocp.StandardCheckpointer()
+        template = None
+        if params_template is not None:
+            template = {"params": _to_numpy_tree(params_template)}
+            if opt_state_template is not None:
+                template["opt_state"] = _to_numpy_tree(opt_state_template)
+        if template is not None:
+            state = ckptr.restore((path / "state").absolute(), template)
+        else:
+            state = ckptr.restore((path / "state").absolute())
+
+    params = state["params"]
+    opt_state = state.get("opt_state")
+    if opt_state is not None and opt_state_template is not None:
+        # restored trees may be plain dicts/lists; rebuild the optax structure
+        leaves = jax.tree.leaves(opt_state)
+        treedef = jax.tree.structure(opt_state_template)
+        if len(leaves) == len(jax.tree.leaves(opt_state_template)):
+            opt_state = jax.tree.unflatten(treedef, leaves)
+    return params, opt_state, meta
+
+
+def load_config_json(path: str | Path) -> Optional[str]:
+    p = Path(path) / "config.json"
+    return p.read_text() if p.exists() else None
+
+
+def best_checkpoint(save_dir: str | Path) -> Optional[Path]:
+    """Highest-F1 checkpoint directory under save_dir."""
+    best, best_f1 = None, -1.0
+    for meta in Path(save_dir).glob("*/meta.json"):
+        try:
+            f1 = json.loads(meta.read_text()).get("f1", -1.0)
+        except Exception:
+            continue
+        if f1 > best_f1:
+            best, best_f1 = meta.parent, f1
+    return best

@@ -16,6 +16,7 @@ emitted automatically from the batch/param shardings.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -76,9 +77,17 @@ def compute_loss(params: dict, model_cfg: ModelConfig, train_cfg: TrainConfig,
 
 def make_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig, tx,
                     donate: bool = True):
-    """Build the jitted train step closure over the optimizer."""
+    """Build the jitted train step closure over the optimizer. With
+    train_cfg.augment, the reference's online augmentation
+    (train.py:130-143) runs *inside* the step as batched device DSP."""
 
     def step(params: dict, opt_state, batch: dict, rng: Array):
+        if train_cfg.augment:
+            from ..ops import audio_dsp
+            rng, k_aug = jax.random.split(rng)
+            wave, mask = audio_dsp.augment_batch(k_aug, batch["audio"],
+                                                 batch["audio_mask"])
+            batch = {**batch, "audio": wave, "audio_mask": mask}
         (_, metrics), grads = jax.value_and_grad(
             compute_loss, has_aux=True)(params, model_cfg, train_cfg, batch,
                                         dropout_key=rng, deterministic=False)
@@ -99,7 +108,10 @@ def make_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig, tx,
     return jax.jit(step, donate_argnums=donate_argnums)
 
 
+@functools.lru_cache(maxsize=16)
 def make_eval_step(model_cfg: ModelConfig, *, use_openmax: bool = False):
+    """Cached by (frozen) config so repeated calls reuse one jitted program
+    — rebuilding the closure each epoch would defeat jit's trace cache."""
     def step(params: dict, batch: dict):
         out = mdl.model_forward(params, model_cfg, batch, deterministic=True,
                                 use_openmax=use_openmax)

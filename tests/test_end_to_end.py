@@ -1,0 +1,124 @@
+"""End-to-end integration: train a tiny model on synthetic separable data,
+evaluate with TTA + calibration, checkpoint/resume."""
+
+import numpy as np
+import jax
+import pytest
+
+from multilingual_multimodal_speech_emotion_recognition_tpu.config import (
+    Config, DataConfig, TrainConfig)
+import multilingual_multimodal_speech_emotion_recognition_tpu.data.audio_io as aio
+import multilingual_multimodal_speech_emotion_recognition_tpu.data.manifest as man
+import multilingual_multimodal_speech_emotion_recognition_tpu.data.tokenizer as tok_lib
+import multilingual_multimodal_speech_emotion_recognition_tpu.train.loop as loop
+import multilingual_multimodal_speech_emotion_recognition_tpu.train.checkpoint as ckpt
+import multilingual_multimodal_speech_emotion_recognition_tpu.eval.evaluate as ev
+import multilingual_multimodal_speech_emotion_recognition_tpu.parallel.mesh as mesh_lib
+
+from test_model import tiny_config
+
+RNG = np.random.default_rng(0)
+SR = 16000
+FREQS = [250.0, 500.0, 1000.0, 2000.0]  # one tone per class
+TEXTS = ["angry shouting words", "happy cheerful words",
+         "sad crying words", "neutral plain words"]
+
+
+@pytest.fixture(scope="module")
+def synth_data(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth")
+    wavdir = root / "datasets" / "synth"
+    wavdir.mkdir(parents=True)
+    items = []
+    for i in range(48):
+        label = i % 4
+        L = int(SR * (0.6 + 0.05 * (i % 5)))
+        t = np.arange(L) / SR
+        x = 0.5 * np.sin(2 * np.pi * FREQS[label] * t)
+        x += 0.01 * RNG.standard_normal(L)
+        name = f"s{i:03d}_{label}.wav"
+        aio.write_wav(wavdir / name, x.astype(np.float32), SR)
+        items.append({"audio": f"synth/{name}", "text": TEXTS[label],
+                      "label": label, "dataset": "synth"})
+    train_items = items[:32]
+    val_items = items[32:]
+    man.write_manifest(root / "train.jsonl", train_items)
+    man.write_manifest(root / "val.jsonl", val_items)
+    return root
+
+
+def _config(root, save_dir, epochs=10, **train_kw) -> Config:
+    return Config(
+        model=tiny_config(),
+        data=DataConfig(audio_buckets=(1.0,), max_text_tokens=12,
+                        dataset_root=str(root / "datasets")),
+        train=TrainConfig(epochs=epochs, batch_size=8, lr=5e-3,
+                          warmup_ratio=0.1, save_dir=str(save_dir),
+                          proto_weight=0.05, seed=0, **train_kw))
+
+
+def test_train_eval_checkpoint_resume(synth_data, tmp_path):
+    root = synth_data
+    tok = tok_lib.HashTokenizer(vocab_size=100)
+    cfg = _config(root, tmp_path / "ckpt", epochs=10)
+
+    result = loop.train(cfg, train_manifest=str(root / "train.jsonl"),
+                        val_manifest=str(root / "val.jsonl"),
+                        tokenizer=tok, progress=False)
+    assert len(result["history"]) == 10
+    # the model must learn the trivially separable tones (best epoch; the
+    # tiny 4-step epochs make the last-epoch F1 noisy)
+    assert result["best_f1"] > 0.5, result["history"]
+
+    # weibull was fitted on the last epoch (activation vectors non-zero)
+    av = np.asarray(result["params"]["classifier"]["weibull"]["activation_vectors"])
+    assert np.abs(av).sum() > 0
+
+    # checkpoints exist and best_checkpoint resolves
+    best = ckpt.best_checkpoint(tmp_path / "ckpt")
+    assert best is not None
+
+    # evaluate from the restored checkpoint: plain, TTA, calibrated
+    params, _, meta = ckpt.restore_checkpoint(best)
+    mesh = mesh_lib.make_mesh()
+    res = ev.evaluate_manifest(params, cfg, str(root / "val.jsonl"),
+                               batch_size=8, tokenizer=tok, mesh=mesh,
+                               verbose=False)
+    assert res["weighted_f1"] > 0.5
+    assert "confusion_matrix" in res and len(res["per_class_accuracy"]) >= 1
+
+    res_tta = ev.evaluate_manifest(params, cfg, str(root / "val.jsonl"),
+                                   batch_size=8, tokenizer=tok, mesh=mesh,
+                                   use_tta=True, num_tta=3, verbose=False)
+    assert res_tta["weighted_f1"] > 0.4
+
+    res_cal = ev.evaluate_manifest(params, cfg, str(root / "val.jsonl"),
+                                   batch_size=8, tokenizer=tok, mesh=mesh,
+                                   calibrate=True,
+                                   val_manifest=str(root / "val.jsonl"),
+                                   verbose=False)
+    assert res_cal["temperature"] > 0
+
+    # resume: run 1 extra epoch from the saved state
+    cfg2 = _config(root, tmp_path / "ckpt2", epochs=11,
+                   resume_from=str(best))
+    result2 = loop.train(cfg2, train_manifest=str(root / "train.jsonl"),
+                         val_manifest=str(root / "val.jsonl"),
+                         tokenizer=tok, progress=False)
+    # resumed training starts after the checkpointed epoch
+    assert result2["history"][0]["epoch"] >= 1
+
+
+def test_metrics_match_sklearn():
+    from sklearn.metrics import f1_score, balanced_accuracy_score
+    import multilingual_multimodal_speech_emotion_recognition_tpu.utils.metrics as M
+    labels = RNG.integers(0, 4, 200)
+    preds = np.where(RNG.uniform(size=200) < 0.7, labels, RNG.integers(0, 4, 200))
+    np.testing.assert_allclose(M.weighted_f1(preds, labels),
+                               f1_score(labels, preds, average="weighted"),
+                               rtol=1e-9)
+    np.testing.assert_allclose(M.macro_f1(preds, labels),
+                               f1_score(labels, preds, average="macro"),
+                               rtol=1e-9)
+    np.testing.assert_allclose(M.unweighted_average_recall(preds, labels),
+                               balanced_accuracy_score(labels, preds), rtol=1e-9)

@@ -249,6 +249,28 @@ def test_lid_known_languages():
 
 # ----------------------------------------------------------- integration
 
+def test_model_forward_with_frontend_dsp():
+    """model_forward computes gates+conditioning on device when the batch
+    carries no precomputed features (audio_encoder.py:65-88 semantics)."""
+    from test_model import tiny_config, tiny_batch
+    import multilingual_multimodal_speech_emotion_recognition_tpu.models.model as mdl
+
+    cfg = tiny_config(frontend_dsp=True)
+    params = mdl.init_model(jax.random.key(0), cfg)
+    batch = tiny_batch(B=4, T=1600, S=10)
+    batch.pop("quality_feats", None)
+    batch.pop("cond_feats", None)
+    out = mdl.model_forward(params, cfg, batch, deterministic=True)
+    assert out.logits.shape == (4, 4)
+    assert np.isfinite(np.asarray(out.logits)).all()
+    # features supplied explicitly short-circuit the DSP: different logits
+    batch2 = dict(batch)
+    batch2["quality_feats"] = jnp.zeros((4, 8), jnp.float32)
+    batch2["cond_feats"] = jnp.zeros((4, 12), jnp.float32)
+    out2 = mdl.model_forward(params, cfg, batch2, deterministic=True)
+    assert not np.allclose(np.asarray(out.logits), np.asarray(out2.logits))
+
+
 def test_frontend_process_end_to_end():
     sigs = [speech_like(SR, i) for i in range(3)]
     wave, mask = padded_batch(sigs, T_pad=SR)

@@ -16,10 +16,12 @@ RNG = np.random.default_rng(7)
 
 
 def tiny_config(**kw) -> ModelConfig:
+    kw.setdefault("frontend_dsp", False)  # unit tests feed feats explicitly
     return ModelConfig(
         num_labels=4, adapter_dim=8, shared_dim=16, num_heads=4, proj_dim=32,
         classifier_layers=3, classifier_base_dim=32,
-        audio=Wav2Vec2Config(conv_dim=(8, 8), conv_stride=(5, 2),
+        # stride product 80 keeps CPU-test attention tiny (16 kHz -> 200 fps)
+        audio=Wav2Vec2Config(conv_dim=(8, 8), conv_stride=(10, 8),
                              conv_kernel=(10, 3), hidden_size=16,
                              num_hidden_layers=2, num_attention_heads=4,
                              intermediate_size=32, num_conv_pos_embeddings=16,
