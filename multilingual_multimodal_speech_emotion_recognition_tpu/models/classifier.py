@@ -132,9 +132,16 @@ def classifier_features(params: dict, x: Array, *, dropout_rate: float = 0.15,
     h = jax.nn.relu(h)
     h = layers.dropout(k_in, h, dropout_rate, deterministic)
 
-    h = _residual_stack(params["layers"], h, dropout_rate=dropout_rate,
-                        dropout_key=k_stack, deterministic=deterministic,
-                        remat=remat)
+    # eval path on TPU: the whole stack fused in one Pallas kernel, the
+    # activation resident in VMEM while layer weights stream (HBM traffic =
+    # one weight read). Training keeps the scan (dropout RNG per layer).
+    from ..ops import pallas_kernels as pk
+    if deterministic and pk.use_pallas():
+        h = pk.residual_stack_pallas(params["layers"], h)
+    else:
+        h = _residual_stack(params["layers"], h, dropout_rate=dropout_rate,
+                            dropout_key=k_stack, deterministic=deterministic,
+                            remat=remat)
 
     f = layers.linear(params["out_proj1"], h)
     f = layers.layer_norm(params["out_ln"], f)
