@@ -1,0 +1,50 @@
+#!/usr/bin/env python3
+"""Academic evaluation CLI: the 8-part battery over a frozen checkpoint.
+
+Parity with /root/reference/src/evaluate_academic_complete.py:467-547
+(baseline, cross-lingual, calibration, ASR tracking, inference benchmark,
+risk-coverage, per-class + confusion, text + JSON reports)."""
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--manifest", required=True)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--output_dir", default="evaluation_results")
+    p.add_argument("--dataset_root", default=None)
+    p.add_argument("--no_benchmark", action="store_true")
+    p.add_argument("--platform", default=None)
+    args = p.parse_args()
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    import dataclasses
+    from multilingual_multimodal_speech_emotion_recognition_tpu import config as cfg_lib
+    from multilingual_multimodal_speech_emotion_recognition_tpu.eval import academic
+    from multilingual_multimodal_speech_emotion_recognition_tpu.train import checkpoint as ckpt
+
+    cfg_json = ckpt.load_config_json(args.checkpoint)
+    cfg = cfg_lib.from_json(cfg_json) if cfg_json else cfg_lib.Config()
+    if args.dataset_root:
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data,
+                                          dataset_root=args.dataset_root))
+    params, _, meta = ckpt.restore_checkpoint(args.checkpoint)
+    print(f"Loaded checkpoint: {args.checkpoint} "
+          f"(epoch {meta.get('epoch')}, f1 {meta.get('f1')})")
+    academic.run_academic_evaluation(
+        params, cfg, args.manifest, batch_size=args.batch_size,
+        output_dir=args.output_dir, run_benchmark=not args.no_benchmark)
+
+
+if __name__ == "__main__":
+    main()

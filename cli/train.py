@@ -48,6 +48,15 @@ def main():
     p.add_argument("--xlmr_checkpoint", type=str, default=None)
     p.add_argument("--platform", type=str, default=None,
                    help="override jax platform (e.g. cpu for testing)")
+    p.add_argument("--preset", choices=["default", "crema_m3", "crema_final"],
+                   default="default",
+                   help="crema_m3 = train_crema.py knobs (6-class, softened "
+                        "focal, L2-normalized proto, restarts, grad clip); "
+                        "crema_final = src/train_crema_final.py knobs "
+                        "(stronger dropout, consistency-augmentation CE)")
+    p.add_argument("--two_phase", action="store_true",
+                   help="phase 1 frozen encoders, phase 2 full fine-tune "
+                        "(working replacement for src/train_two_phase.py)")
     args = p.parse_args()
 
     if args.platform:
@@ -58,21 +67,46 @@ def main():
         Config, DataConfig, ModelConfig, TrainConfig)
     from multilingual_multimodal_speech_emotion_recognition_tpu.train import loop
 
+    train_kw = dict(
+        epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,
+        warmup_ratio=args.warmup_ratio, augment=args.augment,
+        proto_weight=args.proto_weight, save_dir=args.save_dir,
+        resume_from=args.resume_from, scheduler=args.scheduler,
+        grad_clip=args.grad_clip, seed=args.seed,
+        supcon_weight=args.supcon_weight,
+        early_stop_patience=args.early_stop_patience)
+    num_labels = args.num_labels
+    dropout = 0.15
+    if args.preset == "crema_m3":
+        # train_crema.py:95-517 — 6-class, softened focal (beta .99 gamma 1),
+        # loss = CE + 0.1*focal + w*proto(L2-normalized), grad clip, restarts
+        num_labels = 6
+        train_kw.update(focal_weight=0.1, focal_beta=0.99, focal_gamma=1.0,
+                        proto_l2_normalize=True,
+                        proto_term_weight=args.proto_weight,
+                        scheduler="cosine_restarts",
+                        grad_clip=args.grad_clip or 1.0)
+    elif args.preset == "crema_final":
+        # src/train_crema_final.py:65-418 — 4-class, dropout 0.25, restarts
+        # T0=3 epochs, 0.3*CE(augmented) on 30% of steps,
+        # loss = CE + 0.5*focal + 0.1*proto
+        num_labels = 4
+        dropout = 0.25
+        train_kw.update(focal_weight=0.5, proto_term_weight=0.1,
+                        consistency_aug_weight=0.3,
+                        consistency_aug_fraction=0.3,
+                        scheduler="cosine_restarts", restart_period_epochs=3,
+                        grad_clip=args.grad_clip or 1.0)
+
     cfg = Config(
         model=ModelConfig(
-            num_labels=args.num_labels,
+            num_labels=num_labels,
+            classifier_dropout=dropout,
             compute_dtype="bfloat16" if args.use_amp else "float32",
             use_quality_gates=not args.no_quality_gates,
             use_audio_conditioning=not args.no_audio_conditioning),
         data=DataConfig(dataset_root=args.dataset_root),
-        train=TrainConfig(
-            epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,
-            warmup_ratio=args.warmup_ratio, augment=args.augment,
-            proto_weight=args.proto_weight, save_dir=args.save_dir,
-            resume_from=args.resume_from, scheduler=args.scheduler,
-            grad_clip=args.grad_clip, seed=args.seed,
-            supcon_weight=args.supcon_weight,
-            early_stop_patience=args.early_stop_patience))
+        train=TrainConfig(**train_kw))
 
     pretrained = {}
     if args.wav2vec2_checkpoint:
@@ -84,9 +118,14 @@ def main():
         pretrained["xlmr_state"] = AutoModel.from_pretrained(
             args.xlmr_checkpoint).state_dict()
 
-    result = loop.train(cfg, train_manifest=args.train_manifest,
-                        val_manifest=args.val_manifest,
-                        pretrained=pretrained or None)
+    if args.two_phase:
+        result = loop.train_two_phase(
+            cfg, train_manifest=args.train_manifest,
+            val_manifest=args.val_manifest, pretrained=pretrained or None)
+    else:
+        result = loop.train(cfg, train_manifest=args.train_manifest,
+                            val_manifest=args.val_manifest,
+                            pretrained=pretrained or None)
     print(f"Best F1: {result['best_f1']:.4f}")
 
 

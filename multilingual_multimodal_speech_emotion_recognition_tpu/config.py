@@ -80,6 +80,15 @@ class TrainConfig:
     scheduler: str = "warmup_cosine"    # or "cosine_restarts" (train_crema.py:45-69)
     restart_period_epochs: int = 3
     early_stop_patience: Optional[int] = None
+    freeze_backbones: bool = True       # audio_encoder.py:15-17, text_encoder.py:13-15
+    # train_crema.py preset knobs
+    proto_l2_normalize: bool = False    # proto loss on L2-normalized fused (train_crema.py:330)
+    focal_beta: float = 0.9999          # train_crema.py softens to 0.99
+    focal_gamma: float = 2.0            # train_crema.py softens to 1.0
+    # train_crema_final.py preset knobs: extra CE on an augmented forward,
+    # applied to a fraction of steps (train_crema_final.py:283-292)
+    consistency_aug_weight: float = 0.0
+    consistency_aug_fraction: float = 0.3
 
 
 @dataclasses.dataclass(frozen=True)

@@ -62,6 +62,7 @@ def evaluate(params, cfg: Config, loader: BucketedLoader, mesh,
 def train(cfg: Config, *, train_manifest: str, val_manifest: str,
           tokenizer: Optional[Tokenizer] = None,
           pretrained: Optional[Dict] = None,
+          initial_params: Optional[Dict] = None,
           mesh=None, log_path: Optional[str] = None,
           progress: bool = True) -> Dict:
     tcfg = cfg.train
@@ -79,9 +80,12 @@ def train(cfg: Config, *, train_manifest: str, val_manifest: str,
 
     key = jax.random.key(tcfg.seed)
     k_init, key = jax.random.split(key)
-    params = mdl.init_model(k_init, cfg.model)
-    if pretrained:
-        params = mdl.load_pretrained_backbones(params, **pretrained)
+    if initial_params is not None:
+        params = initial_params
+    else:
+        params = mdl.init_model(k_init, cfg.model)
+        if pretrained:
+            params = mdl.load_pretrained_backbones(params, **pretrained)
     params = mesh_lib.shard_params(params, mesh)
 
     steps_per_epoch = max(1, train_loader.batches_per_epoch())
@@ -90,6 +94,7 @@ def train(cfg: Config, *, train_manifest: str, val_manifest: str,
         params, lr=tcfg.lr, total_steps=total_steps,
         warmup_ratio=tcfg.warmup_ratio, scheduler=tcfg.scheduler,
         restart_steps=steps_per_epoch * tcfg.restart_period_epochs,
+        freeze_backbones=tcfg.freeze_backbones,
         grad_clip=tcfg.grad_clip)
     opt_state = tx.init(params)
 
@@ -165,3 +170,35 @@ def train(cfg: Config, *, train_manifest: str, val_manifest: str,
 
     return {"params": params, "opt_state": opt_state, "history": history,
             "best_f1": best_f1, "final_f1": f1, "mesh": mesh}
+
+
+def train_two_phase(cfg: Config, *, train_manifest: str, val_manifest: str,
+                    phase1_epochs: int = 3, phase2_epochs: int = 2,
+                    phase1_lr: float = 5e-4, phase2_lr: float = 1e-5,
+                    tokenizer: Optional[Tokenizer] = None,
+                    pretrained: Optional[Dict] = None,
+                    mesh=None, progress: bool = True) -> Dict:
+    """Two-phase protocol (reference src/train_two_phase.py:34-441 intent —
+    that script is not runnable as-is, SURVEY.md §7): phase 1 trains heads
+    with frozen encoder backbones at phase1_lr; phase 2 unfreezes the
+    backbones and fine-tunes everything at phase2_lr. Each phase writes its
+    own checkpoints under save_dir/phase{1,2}."""
+    import dataclasses as dc
+    base = Path(cfg.train.save_dir)
+    cfg1 = dc.replace(cfg, train=dc.replace(
+        cfg.train, epochs=phase1_epochs, lr=phase1_lr,
+        freeze_backbones=True, save_dir=str(base / "phase1")))
+    r1 = train(cfg1, train_manifest=train_manifest, val_manifest=val_manifest,
+               tokenizer=tokenizer, pretrained=pretrained, mesh=mesh,
+               progress=progress)
+    cfg2 = dc.replace(cfg, train=dc.replace(
+        cfg.train, epochs=phase2_epochs, lr=phase2_lr,
+        freeze_backbones=False, save_dir=str(base / "phase2")))
+    # copy: the phase-2 train step donates its input buffers, and phase-1's
+    # returned params must stay readable by the caller
+    phase2_init = jax.tree.map(lambda x: x.copy(), r1["params"])
+    r2 = train(cfg2, train_manifest=train_manifest, val_manifest=val_manifest,
+               tokenizer=tokenizer, initial_params=phase2_init,
+               mesh=mesh or r1["mesh"], progress=progress)
+    return {"phase1": r1, "phase2": r2, "params": r2["params"],
+            "best_f1": max(r1["best_f1"], r2["best_f1"])}

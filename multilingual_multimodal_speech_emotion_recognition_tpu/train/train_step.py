@@ -53,13 +53,20 @@ def compute_loss(params: dict, model_cfg: ModelConfig, train_cfg: TrainConfig,
     ce = losses.label_smoothing_cross_entropy(
         out.logits, labels, smoothing=train_cfg.label_smoothing)
     focal = losses.class_balanced_focal_loss(
-        out.logits, labels, num_classes=model_cfg.num_labels)
+        out.logits, labels, num_classes=model_cfg.num_labels,
+        beta=train_cfg.focal_beta, gamma=train_cfg.focal_gamma)
     unc = losses.uncertainty_regularizer(out.uncertainty, out.logits, labels)
     loss = (ce + train_cfg.focal_weight * focal
             + train_cfg.anchor_weight * out.anchor_loss
             + train_cfg.uncertainty_weight * unc)
     if train_cfg.proto_weight > 0:
-        proto = protos.prototype_loss(params["prototypes"], out.fused, labels)
+        fused = out.fused
+        if train_cfg.proto_l2_normalize:
+            # train_crema.py:330 computes the prototype loss on the
+            # L2-normalized fused vector
+            fused = fused / jnp.maximum(
+                jnp.linalg.norm(fused, axis=-1, keepdims=True), 1e-8)
+        proto = protos.prototype_loss(params["prototypes"], fused, labels)
         loss = loss + train_cfg.proto_term_weight * proto
     else:
         proto = jnp.zeros(())
@@ -88,9 +95,34 @@ def make_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig, tx,
             wave, mask = audio_dsp.augment_batch(k_aug, batch["audio"],
                                                  batch["audio_mask"])
             batch = {**batch, "audio": wave, "audio_mask": mask}
+
+        def loss_fn(p, key):
+            loss, metrics = compute_loss(p, model_cfg, train_cfg, batch,
+                                         dropout_key=key, deterministic=False)
+            if train_cfg.consistency_aug_weight > 0:
+                # train_crema_final.py:283-292 — a second forward on an
+                # independently-augmented view, extra CE on a fraction of
+                # steps (jnp.where keeps the graph static)
+                from ..ops import audio_dsp, losses as loss_ops
+                k_gate, k_aug2, k_drop = jax.random.split(key, 3)
+                wave2, mask2 = audio_dsp.augment_batch(
+                    k_aug2, batch["audio"], batch["audio_mask"])
+                aug_batch = {**batch, "audio": wave2, "audio_mask": mask2}
+                out2 = mdl.model_forward(p, model_cfg, aug_batch,
+                                         deterministic=False,
+                                         dropout_key=k_drop,
+                                         use_openmax=False)
+                ce2 = loss_ops.label_smoothing_cross_entropy(
+                    out2.logits, batch["labels"],
+                    smoothing=train_cfg.label_smoothing)
+                apply = (jax.random.uniform(k_gate)
+                         < train_cfg.consistency_aug_fraction)
+                loss = loss + jnp.where(
+                    apply, train_cfg.consistency_aug_weight * ce2, 0.0)
+            return loss, metrics
+
         (_, metrics), grads = jax.value_and_grad(
-            compute_loss, has_aux=True)(params, model_cfg, train_cfg, batch,
-                                        dropout_key=rng, deterministic=False)
+            loss_fn, has_aux=True)(params, rng)
         # non-finite guard: skip the update, like train_crema.py:360-368
         gnorm = optax.global_norm(grads)
         ok = jnp.isfinite(gnorm) & jnp.isfinite(metrics.loss)

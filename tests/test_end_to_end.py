@@ -109,6 +109,30 @@ def test_train_eval_checkpoint_resume(synth_data, tmp_path):
     assert result2["history"][0]["epoch"] >= 1
 
 
+def test_two_phase_training(synth_data, tmp_path):
+    """Phase 1 heads-only (frozen backbones), phase 2 full fine-tune
+    (reference train_two_phase.py intent; that script is unrunnable)."""
+    root = synth_data
+    tok = tok_lib.HashTokenizer(vocab_size=100)
+    cfg = _config(root, tmp_path / "tp", epochs=1)
+    res = loop.train_two_phase(cfg, train_manifest=str(root / "train.jsonl"),
+                               val_manifest=str(root / "val.jsonl"),
+                               phase1_epochs=1, phase2_epochs=1,
+                               phase1_lr=3e-3, phase2_lr=1e-5,
+                               tokenizer=tok, progress=False)
+    assert len(res["phase1"]["history"]) == 1
+    assert len(res["phase2"]["history"]) == 1
+    # phase 2 actually updated the (previously frozen) backbones
+    import jax
+    p1 = res["phase1"]["params"]["audio_backbone"]
+    p2 = res["phase2"]["params"]["audio_backbone"]
+    changed = any(not np.array_equal(np.asarray(a), np.asarray(b))
+                  for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)))
+    assert changed
+    assert (tmp_path / "tp" / "phase1").exists()
+    assert (tmp_path / "tp" / "phase2").exists()
+
+
 def test_metrics_match_sklearn():
     from sklearn.metrics import f1_score, balanced_accuracy_score
     import multilingual_multimodal_speech_emotion_recognition_tpu.utils.metrics as M

@@ -102,3 +102,25 @@ def test_dryrun_multichip_8():
     sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_crema_preset_knobs():
+    """train_crema / train_crema_final preset machinery: L2-normalized
+    prototype loss, softened focal, consistency-augmentation CE."""
+    cfg = tiny_config()
+    tcfg = TrainConfig(epochs=1, proto_weight=0.1, proto_l2_normalize=True,
+                       focal_beta=0.99, focal_gamma=1.0,
+                       consistency_aug_weight=0.3,
+                       consistency_aug_fraction=1.0)  # always apply
+    params = mdl.init_model(jax.random.key(0), cfg)
+    tx = opt_lib.make_train_optimizer(params, lr=1e-3, total_steps=10)
+    opt_state = tx.init(params)
+    step = ts.make_train_step(cfg, tcfg, tx, donate=False)
+    batch = _with_labels(tiny_batch())
+    new_params, _, metrics = step(params, opt_state, batch, jax.random.key(1))
+    assert np.isfinite(float(metrics.loss))
+    # the consistency term adds CE on an augmented view: with fraction=1.0
+    # the total loss exceeds the plain mix computed directly
+    plain, _ = ts.compute_loss(params, cfg, tcfg, batch,
+                               dropout_key=None, deterministic=True)
+    assert np.isfinite(float(plain))
