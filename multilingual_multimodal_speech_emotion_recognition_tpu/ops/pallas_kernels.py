@@ -19,7 +19,19 @@ attentive_stats_pooling_pallas
     kernel per batch row block, one pass over the sequence, no [B, S]
     score round-trips to HBM.
 
-Both kernels run in `interpret=True` mode off-TPU so the CPU test suite
+flash_attention
+    Masked flash attention (forward): blockwise online-softmax over KV
+    tiles, never materializing the [Sq, Skv] score matrix in HBM. The
+    KV-blockwise structure is what lets a future `sequence` mesh axis shard
+    the frame dimension (SURVEY.md §5.7 extension note). NOT wired into the
+    default model: at this model's scales (Dh=64, S≤1499) XLA's fused
+    attention is faster on v5e (5.3 ms vs 236 ms at B=8/S=1499/H=12 with
+    128-blocks — the per-head Dh=64 half-fills the lanes and the grid is
+    launch-bound; 512-blocks trip a Mosaic VMEM-accounting OOM). Kept as
+    tested infrastructure for long-context sharding, where avoiding the
+    O(S²) HBM score materialization is the point.
+
+All kernels run in `interpret=True` mode off-TPU so the CPU test suite
 exercises their numerics; `use_pallas()` gates the real lowering.
 """
 
@@ -229,3 +241,108 @@ def attentive_stats_pooling_pallas(params: dict, x: Array, mask: Array,
       params["w1"]["kernel"], params["w1"]["bias"].reshape(1, H),
       params["w2"]["kernel"], params["w2"]["bias"].reshape(1, 1))
     return out[:, 0, :]
+
+
+# ---------------------------------------------------------------------------
+# masked flash attention (forward)
+# ---------------------------------------------------------------------------
+
+def _flash_kernel(q_ref, k_ref, v_ref, kvmask_ref, out_ref,
+                  m_acc, l_acc, o_acc, *, scale):
+    """grid = (BH, nQ, nK); online softmax across the KV grid dimension."""
+    kb = pl.program_id(2)
+
+    q = q_ref[0].astype(jnp.float32)          # [Bq, Dh]
+    k = k_ref[0].astype(jnp.float32)          # [Bk, Dh]
+    v = v_ref[0].astype(jnp.float32)          # [Bk, Dh]
+    kvm = kvmask_ref[0].astype(jnp.float32)   # [Bk, 1]
+
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale      # [Bq, Bk]
+    s = jnp.where(kvm[:, 0][None, :] == 0, NEG_BIG, s)
+
+    @pl.when(kb == 0)
+    def _():
+        m_acc[:] = jnp.full_like(m_acc, NEG_BIG)
+        l_acc[:] = jnp.zeros_like(l_acc)
+        o_acc[:] = jnp.zeros_like(o_acc)
+
+    m_old = m_acc[:]                                     # [Bq, 1]
+    m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
+    rescale = jnp.exp(m_old - m_new)                     # [Bq, 1]
+    p = jnp.exp(s - m_new)                               # [Bq, Bk]
+    m_acc[:] = m_new
+    l_acc[:] = l_acc[:] * rescale + jnp.sum(p, axis=-1, keepdims=True)
+    o_acc[:] = o_acc[:] * rescale + jnp.dot(
+        p, v, preferred_element_type=jnp.float32)
+
+    @pl.when(kb == pl.num_programs(2) - 1)
+    def _():
+        out_ref[0] = (o_acc[:] / jnp.maximum(l_acc[:], 1e-30)
+                      ).astype(out_ref.dtype)
+
+
+def flash_attention(q: Array, k: Array, v: Array, kv_mask: Array, *,
+                    num_heads: int, block_q: int = 128,
+                    block_k: int = 128) -> Array:
+    """Masked multi-head attention, flash-style.
+
+    q: [B, Sq, D], k/v: [B, Skv, D], kv_mask: [B, Skv] (1 valid / 0 pad).
+    Returns [B, Sq, D]. Softmax in f32; fully-masked KV is the caller's
+    responsibility (same contract as models/layers.mha).
+    """
+    B, Sq, D = q.shape
+    Skv = k.shape[1]
+    Dh = D // num_heads
+    scale = 1.0 / (Dh ** 0.5)
+
+    def split_heads(x, S):
+        # [B, S, D] -> [B*H, S, Dh]
+        return (x.reshape(B, S, num_heads, Dh).transpose(0, 2, 1, 3)
+                .reshape(B * num_heads, S, Dh))
+
+    qh = split_heads(q, Sq)
+    kh = split_heads(k, Skv)
+    vh = split_heads(v, Skv)
+    maskh = jnp.repeat(kv_mask[:, None, :], num_heads, axis=1).reshape(
+        B * num_heads, Skv, 1)
+
+    Bq = min(block_q, Sq)
+    Bk = min(block_k, Skv)
+    Sqp, Skp = _round_up(Sq, Bq), _round_up(Skv, Bk)
+    if Sqp != Sq:
+        qh = jnp.pad(qh, ((0, 0), (0, Sqp - Sq), (0, 0)))
+    if Skp != Skv:
+        kh = jnp.pad(kh, ((0, 0), (0, Skp - Skv), (0, 0)))
+        vh = jnp.pad(vh, ((0, 0), (0, Skp - Skv), (0, 0)))
+        maskh = jnp.pad(maskh, ((0, 0), (0, Skp - Skv), (0, 0)))
+
+    BH = B * num_heads
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale),
+        grid=(BH, Sqp // Bq, Skp // Bk),
+        in_specs=[
+            pl.BlockSpec((1, Bq, Dh), lambda bh, iq, ik: (bh, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bk, Dh), lambda bh, iq, ik: (bh, ik, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bk, Dh), lambda bh, iq, ik: (bh, ik, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bk, 1), lambda bh, iq, ik: (bh, ik, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Bq, Dh), lambda bh, iq, ik: (bh, iq, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BH, Sqp, Dh), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((Bq, 1), jnp.float32),    # running max
+            pltpu.VMEM((Bq, 1), jnp.float32),    # normalizer
+            pltpu.VMEM((Bq, Dh), jnp.float32),   # output accumulator
+        ],
+        interpret=_interpret(),
+    )(qh, kh, vh, maskh)
+
+    out = out[:, :Sq, :]
+    return (out.reshape(B, num_heads, Sq, Dh).transpose(0, 2, 1, 3)
+            .reshape(B, Sq, D))

@@ -62,3 +62,44 @@ def test_pooling_bf16():
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want, np.float32),
                                rtol=3e-2, atol=3e-2)
+
+
+def reference_attention(q, k, v, kv_mask, num_heads):
+    B, Sq, D = q.shape
+    Skv = k.shape[1]
+    Dh = D // num_heads
+    qh = q.reshape(B, Sq, num_heads, Dh).transpose(0, 2, 1, 3)
+    kh = k.reshape(B, Skv, num_heads, Dh).transpose(0, 2, 1, 3)
+    vh = v.reshape(B, Skv, num_heads, Dh).transpose(0, 2, 1, 3)
+    s = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) / np.sqrt(Dh)
+    s = jnp.where(kv_mask[:, None, None, :] == 0, -1e30, s)
+    a = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhqk,bhkd->bhqd", a, vh)
+    return o.transpose(0, 2, 1, 3).reshape(B, Sq, D)
+
+
+def test_flash_attention_matches_reference():
+    B, Sq, Skv, D, H = 2, 40, 56, 32, 4
+    q = jnp.asarray(RNG.standard_normal((B, Sq, D)).astype(np.float32))
+    k = jnp.asarray(RNG.standard_normal((B, Skv, D)).astype(np.float32))
+    v = jnp.asarray(RNG.standard_normal((B, Skv, D)).astype(np.float32))
+    mask = np.ones((B, Skv), np.float32)
+    mask[0, 30:] = 0
+    mask[1, 45:] = 0
+    mask = jnp.asarray(mask)
+    want = reference_attention(q, k, v, mask, H)
+    got = pk.flash_attention(q, k, v, mask, num_heads=H,
+                             block_q=16, block_k=16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_attention_self_attention_and_single_block():
+    B, S, D, H = 3, 24, 64, 8
+    x = jnp.asarray(RNG.standard_normal((B, S, D)).astype(np.float32))
+    mask = jnp.ones((B, S), jnp.float32)
+    want = reference_attention(x, x, x, mask, H)
+    got = pk.flash_attention(x, x, x, mask, num_heads=H,
+                             block_q=128, block_k=128)  # one block
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
