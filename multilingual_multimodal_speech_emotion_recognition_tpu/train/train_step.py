@@ -45,6 +45,13 @@ class StepMetrics(NamedTuple):
 def compute_loss(params: dict, model_cfg: ModelConfig, train_cfg: TrainConfig,
                  batch: dict, *, dropout_key: Optional[Array] = None,
                  deterministic: bool = False):
+    if train_cfg.freeze_backbones:
+        # the reference freezes with requires_grad=False, so torch never
+        # runs the backbone backward; stop_gradient gives XLA the same
+        # pruning (optax set_to_zero alone would still compute those grads)
+        params = {**params,
+                  "audio_backbone": jax.lax.stop_gradient(params["audio_backbone"]),
+                  "text_backbone": jax.lax.stop_gradient(params["text_backbone"])}
     out = mdl.model_forward(params, model_cfg, batch,
                             deterministic=deterministic,
                             dropout_key=dropout_key, use_openmax=False,
