@@ -17,3 +17,15 @@ __version__ = "0.1.0"
 
 # Short import alias used throughout docs/tests:
 #   import multilingual_multimodal_speech_emotion_recognition_tpu as mmser
+
+from . import config  # lightweight; everything else imports lazily
+
+
+def __getattr__(name):
+    """Lazy submodule access (keeps `import mmser` fast and avoids pulling
+    jax/transformers until a subsystem is actually used)."""
+    import importlib
+    if name in ("data", "eval", "frontend", "integration", "interface",
+                "models", "ops", "parallel", "research", "train", "utils"):
+        return importlib.import_module(f".{name}", __name__)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
