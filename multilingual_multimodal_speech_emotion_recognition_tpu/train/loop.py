@@ -125,12 +125,21 @@ def train(cfg: Config, *, train_manifest: str, val_manifest: str,
             dev_batch = mesh_lib.shard_batch(
                 {k: v for k, v in batch.items()
                  if k not in pipeline_mod.TRAIN_HOST_KEYS}, mesh)
+            t_step = time.time()
             params, opt_state, metrics = step_fn(params, opt_state, dev_batch, k_step)
             global_step += 1
-            losses.append(float(metrics.loss))
-            if progress and global_step % 50 == 0:
-                print(f"epoch {epoch} step {global_step} "
-                      f"loss {losses[-1]:.4f}")
+            losses.append(float(metrics.loss))   # syncs the step
+            if global_step % 50 == 0:
+                writer.write({"kind": "step", "step": global_step,
+                              "epoch": epoch, "loss": losses[-1],
+                              "ce": float(metrics.ce),
+                              "focal": float(metrics.focal),
+                              "accuracy": float(metrics.accuracy),
+                              "utt_per_sec": tcfg.batch_size
+                              / max(time.time() - t_step, 1e-9)})
+                if progress:
+                    print(f"epoch {epoch} step {global_step} "
+                          f"loss {losses[-1]:.4f}")
         train_loss = float(np.mean(losses)) if losses else 0.0
 
         ev = evaluate(params, cfg, val_loader, mesh)
