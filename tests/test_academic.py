@@ -1,0 +1,84 @@
+"""Academic evaluation driver test: the 8-part battery end-to-end on a tiny
+model + synthetic manifest."""
+
+import json
+
+import numpy as np
+import jax
+import pytest
+
+from multilingual_multimodal_speech_emotion_recognition_tpu.config import (
+    Config, DataConfig, TrainConfig)
+from multilingual_multimodal_speech_emotion_recognition_tpu.eval import academic
+import multilingual_multimodal_speech_emotion_recognition_tpu.data.audio_io as aio
+import multilingual_multimodal_speech_emotion_recognition_tpu.data.manifest as man
+import multilingual_multimodal_speech_emotion_recognition_tpu.data.tokenizer as tok_lib
+import multilingual_multimodal_speech_emotion_recognition_tpu.models.model as mdl
+
+from test_model import tiny_config
+
+SR = 16000
+TEXTS = ["the angry one", "el gato feliz", "the sad words", "plain neutral"]
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("acad")
+    wavdir = root / "datasets" / "synth"
+    wavdir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    items = []
+    for i in range(24):
+        label = i % 4
+        t = np.arange(int(SR * 0.6)) / SR
+        x = 0.4 * np.sin(2 * np.pi * [300, 600, 1200, 2400][label] * t)
+        x = (x + 0.01 * rng.standard_normal(len(t))).astype(np.float32)
+        aio.write_wav(wavdir / f"a{i:02d}.wav", x, SR)
+        items.append({"audio": f"synth/a{i:02d}.wav", "text": TEXTS[label],
+                      "label": label, "dataset": "synth"})
+    man.write_manifest(root / "val.jsonl", items)
+    cfg = Config(model=tiny_config(),
+                 data=DataConfig(audio_buckets=(1.0,), max_text_tokens=12,
+                                 dataset_root=str(root / "datasets")),
+                 train=TrainConfig())
+    params = mdl.init_model(jax.random.key(0), cfg.model)
+    return root, cfg, params
+
+
+def test_academic_battery(setup, tmp_path):
+    root, cfg, params = setup
+    tok = tok_lib.HashTokenizer(vocab_size=100)
+    res = academic.run_academic_evaluation(
+        params, cfg, str(root / "val.jsonl"), batch_size=8, tokenizer=tok,
+        output_dir=str(tmp_path / "out"), run_benchmark=True, verbose=False)
+
+    b = res["baseline"]
+    assert b["num_samples"] == 24
+    assert 0.0 <= b["weighted_f1"] <= 1.0
+    assert 0.0 <= b["accuracy"] <= 1.0
+
+    # cross-lingual: 'es' text detected -> at least two language slices
+    langs = res["cross_lingual"]["per_language"]
+    assert "en" in langs
+    assert "es" in langs
+    if "transfer" in res["cross_lingual"]:
+        assert "es" in res["cross_lingual"]["transfer"]["transfer_ratios"]
+
+    assert 0.0 <= res["calibration"]["ece"] <= 1.0
+    assert res["calibration"]["quality"] in ("excellent", "good", "moderate",
+                                             "poor")
+
+    # ASR tracking with hyp=ref simulation -> zero WER
+    assert res["asr_tracking"]["overall_wer"] == 0.0
+    assert res["asr_tracking"]["total_words"] > 0
+
+    assert "risk_coverage_auc" in res["risk_coverage"]
+    assert res["inference_benchmark"]["params"]["total_params"] > 0
+    assert len(res["confusion_matrix"]) == 4
+
+    # artifacts written
+    out = tmp_path / "out"
+    data = json.loads((out / "academic_evaluation.json").read_text())
+    assert data["baseline"]["num_samples"] == 24
+    report = (out / "academic_report.txt").read_text()
+    assert "ACADEMIC EVALUATION REPORT" in report
