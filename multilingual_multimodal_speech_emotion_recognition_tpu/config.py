@@ -56,6 +56,10 @@ class DataConfig:
     max_text_tokens: int = 64
     audio_buckets: Tuple[float, ...] = (2.0, 4.0, 8.0, 16.0, 30.0)
     dataset_root: str = "datasets"      # preprocess.py:10-12 path prefix
+    # emit per-utterance 8-dim ASR features in batches (host-side
+    # EnhancedASRIntegration; transcribes with Whisper only when the
+    # manifest text is empty, like text_encoder.py:39-48)
+    emit_asr_feats: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -185,7 +185,7 @@ class BucketedLoader:
         # (the text side of quality_gates.py:508-515)
         ents, _, confs = lid_mod.batch_lid(texts)
         ids, tmask = self.tokenizer.encode_batch(texts, self.ds.cfg.max_text_tokens)
-        return {
+        batch = {
             "audio": audio, "audio_mask": audio_mask,
             "text_ids": ids, "text_mask": tmask,
             "lid_entropy": np.asarray(ents, np.float32),
@@ -193,3 +193,22 @@ class BucketedLoader:
             "labels": labels, "example_mask": example_mask,
             "indices": indices,
         }
+        if self.ds.cfg.emit_asr_feats:
+            # host-side ASR features (asr_integration.py:584-600); with
+            # manifest text present no transcription backend is invoked
+            asr = self._asr()
+            feats = np.zeros((B, 8), np.float32)
+            for r in range(len(loaded)):
+                valid = int(audio_mask[r].sum())
+                res = asr.process(audio[r, :valid],
+                                  self.ds.cfg.sample_rate,
+                                  text=texts[r] or None)
+                feats[r] = res.asr_features
+            batch["asr_feats"] = feats
+        return batch
+
+    def _asr(self):
+        if not hasattr(self, "_asr_integration"):
+            from ..frontend import asr as asr_mod
+            self._asr_integration = asr_mod.EnhancedASRIntegration()
+        return self._asr_integration

@@ -175,3 +175,38 @@ def test_tta_expand_views():
     assert w.shape == (5 * B, T) and m.shape == (5 * B, T)
     np.testing.assert_array_equal(np.asarray(w[:B]), np.asarray(wave))  # view 0 = orig
     assert not np.allclose(np.asarray(w[B:2 * B]), np.asarray(wave))    # speed 0.95
+
+
+def test_loader_emits_asr_feats(tmp_path):
+    """DataConfig.emit_asr_feats plumbs 8-dim ASR features into batches
+    (text_encoder.py:39-48 integration path)."""
+    import dataclasses
+    import multilingual_multimodal_speech_emotion_recognition_tpu.data.audio_io as aio
+    import multilingual_multimodal_speech_emotion_recognition_tpu.data.manifest as man
+    from multilingual_multimodal_speech_emotion_recognition_tpu.config import DataConfig
+    from multilingual_multimodal_speech_emotion_recognition_tpu.data.pipeline import (
+        BucketedLoader, SERDataset)
+    from multilingual_multimodal_speech_emotion_recognition_tpu.data.tokenizer import (
+        HashTokenizer)
+
+    wavdir = tmp_path / "ds" / "x"
+    wavdir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    items = []
+    for i in range(4):
+        aio.write_wav(wavdir / f"{i}.wav",
+                      0.1 * rng.standard_normal(8000).astype(np.float32), 16000)
+        items.append({"audio": f"x/{i}.wav", "text": "three plain words",
+                      "label": i % 2, "dataset": "x"})
+    man.write_manifest(tmp_path / "m.jsonl", items)
+    cfg = DataConfig(audio_buckets=(1.0,), max_text_tokens=8,
+                     dataset_root=str(tmp_path / "ds"), emit_asr_feats=True)
+    loader = BucketedLoader(SERDataset(str(tmp_path / "m.jsonl"), cfg),
+                            batch_size=4, tokenizer=HashTokenizer(100),
+                            shuffle=False)
+    batch = next(iter(loader.epoch(0)))
+    assert batch["asr_feats"].shape == (4, 8)
+    # with text present: confidence 1, has-text flag 1, word count 3/50
+    np.testing.assert_allclose(batch["asr_feats"][0, 0], 1.0)
+    np.testing.assert_allclose(batch["asr_feats"][0, 7], 1.0)
+    np.testing.assert_allclose(batch["asr_feats"][0, 6], 3 / 50, atol=1e-6)
