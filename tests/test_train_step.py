@@ -104,6 +104,23 @@ def test_dryrun_multichip_8():
     ge.dryrun_multichip(8)
 
 
+def test_dryrun_multichip_self_sufficient_subprocess():
+    """The driver invokes dryrun_multichip(8) in a fresh process under the
+    pinned 1-device default platform; it must stand up its own virtual
+    8-device CPU mesh (round-1 MULTICHIP failure mode)."""
+    import subprocess, sys, pathlib
+    root = pathlib.Path(__file__).resolve().parent.parent
+    env = dict(__import__("os").environ)
+    # Ensure the fresh process does NOT inherit any CPU-mesh setup.
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"],
+        cwd=root, env=env, capture_output=True, text=True, timeout=580)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "ok" in proc.stdout
+
+
 def test_crema_preset_knobs():
     """train_crema / train_crema_final preset machinery: L2-normalized
     prototype loss, softened focal, consistency-augmentation CE."""
