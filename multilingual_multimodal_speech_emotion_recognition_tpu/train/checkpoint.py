@@ -82,12 +82,43 @@ def restore_checkpoint(path: str | Path, *, params_template=None,
     params = state["params"]
     opt_state = state.get("opt_state")
     if opt_state is not None and opt_state_template is not None:
-        # restored trees may be plain dicts/lists; rebuild the optax structure
-        leaves = jax.tree.leaves(opt_state)
-        treedef = jax.tree.structure(opt_state_template)
-        if len(leaves) == len(jax.tree.leaves(opt_state_template)):
-            opt_state = jax.tree.unflatten(treedef, leaves)
+        # Restored trees may be plain dicts/lists (orbax serializes optax
+        # namedtuples structurally); rebuild the optax structure only when
+        # the flattened KEY PATHS provably line up — leaf-count coincidence
+        # is not evidence of matching structure.
+        tdef = jax.tree.structure(opt_state_template)
+        if jax.tree.structure(opt_state) != tdef:
+            r_map = {_path_strs(p): leaf for p, leaf in
+                     jax.tree_util.tree_flatten_with_path(opt_state)[0]}
+            t_paths = [_path_strs(p) for p, _ in
+                       jax.tree_util.tree_flatten_with_path(opt_state_template)[0]]
+            if len(r_map) == len(t_paths) and set(r_map) == set(t_paths):
+                # match leaves BY KEY PATH (dicts flatten sorted, namedtuples
+                # in field order — order alone proves nothing)
+                opt_state = jax.tree.unflatten(tdef, [r_map[p] for p in t_paths])
+            else:
+                missing = sorted(set(t_paths) - set(r_map))[:3]
+                raise ValueError(
+                    "restored opt_state key paths do not match the optimizer "
+                    "template — refusing to reassign optimizer moments "
+                    f"(restored {len(r_map)} leaves, template {len(t_paths)}, "
+                    f"first missing: {missing})")
     return params, opt_state, meta
+
+
+def _path_strs(path) -> tuple:
+    """Normalize a jax key path so namedtuple fields, dict keys, and sequence
+    indexes compare equal across serialized representations (a namedtuple
+    restored as {'0': ..., 'mu': ...} must match GetAttrKey('mu') etc.)."""
+    out = []
+    for k in path:
+        for attr in ("name", "key", "idx"):
+            if hasattr(k, attr):
+                out.append(str(getattr(k, attr)))
+                break
+        else:
+            out.append(str(k))
+    return tuple(out)
 
 
 def load_config_json(path: str | Path) -> Optional[str]:

@@ -113,34 +113,56 @@ def train(cfg: Config, *, train_manifest: str, val_manifest: str,
 
     step_fn = ts.make_train_step(cfg.model, tcfg, tx, donate=True)
 
+    def fit_weibull_into(p):
+        """Weibull fit on val penultimate features (train.py:204-245),
+        stamped into the classifier params. Returns p unchanged when the
+        val set is empty."""
+        ev_f = evaluate(p, cfg, val_loader, mesh, collect_features=True)
+        if ev_f["features"] is None or not len(ev_f["features"]):
+            return p
+        weibull = om.fit_weibull(jnp.asarray(ev_f["features"]),
+                                 jnp.asarray(ev_f["labels"]),
+                                 cfg.model.num_labels)
+        p = dict(p)
+        p["classifier"] = dict(p["classifier"])
+        p["classifier"]["weibull"] = jax.tree.map(jax.device_put, weibull)
+        return p
+
     best_f1, best_epoch, history = -1.0, -1, []
+    best_path: Optional[Path] = None
+    last_path: Optional[Path] = None
+    last_meta: Dict = {}
     save_root = Path(tcfg.save_dir)
     f1 = 0.0
 
     for epoch in range(start_epoch, tcfg.epochs):
         t0 = time.time()
-        losses = []
+        losses = []          # device scalars: loss sync deferred to log steps
+        t_window, n_window = time.time(), 0
         for batch in train_loader.epoch(epoch):
             key, k_step = jax.random.split(key)
             dev_batch = mesh_lib.shard_batch(
                 {k: v for k, v in batch.items()
                  if k not in pipeline_mod.TRAIN_HOST_KEYS}, mesh)
-            t_step = time.time()
             params, opt_state, metrics = step_fn(params, opt_state, dev_batch, k_step)
             global_step += 1
-            losses.append(float(metrics.loss))   # syncs the step
+            n_window += 1
+            losses.append(metrics.loss)  # no host sync: keep device pipelined
             if global_step % 50 == 0:
+                # the float() here is the only host sync in the window
+                now = time.time()
                 writer.write({"kind": "step", "step": global_step,
-                              "epoch": epoch, "loss": losses[-1],
+                              "epoch": epoch, "loss": float(metrics.loss),
                               "ce": float(metrics.ce),
                               "focal": float(metrics.focal),
                               "accuracy": float(metrics.accuracy),
-                              "utt_per_sec": tcfg.batch_size
-                              / max(time.time() - t_step, 1e-9)})
+                              "utt_per_sec": n_window * tcfg.batch_size
+                              / max(now - t_window, 1e-9)})
+                t_window, n_window = time.time(), 0
                 if progress:
                     print(f"epoch {epoch} step {global_step} "
-                          f"loss {losses[-1]:.4f}")
-        train_loss = float(np.mean(losses)) if losses else 0.0
+                          f"loss {float(metrics.loss):.4f}")
+        train_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
 
         ev = evaluate(params, cfg, val_loader, mesh)
         f1 = weighted_f1(ev["preds"], ev["labels"], cfg.model.num_labels)
@@ -151,31 +173,39 @@ def train(cfg: Config, *, train_manifest: str, val_manifest: str,
         if progress:
             print(f"Epoch {epoch} F1: {f1:.4f} (loss {train_loss:.4f}, {dt:.1f}s)")
 
-        if epoch == tcfg.epochs - 1:
-            # Weibull fit on val penultimate features (train.py:204-245)
-            ev_f = evaluate(params, cfg, val_loader, mesh, collect_features=True)
-            if ev_f["features"] is not None and len(ev_f["features"]):
-                weibull = om.fit_weibull(jnp.asarray(ev_f["features"]),
-                                         jnp.asarray(ev_f["labels"]),
-                                         cfg.model.num_labels)
-                params = dict(params)
-                params["classifier"] = dict(params["classifier"])
-                params["classifier"]["weibull"] = jax.tree.map(
-                    lambda x: jax.device_put(x), weibull)
-
+        last_path = save_root / f"epoch_{epoch}_f1_{f1:.4f}"
+        last_meta = {"step": global_step, "epoch": epoch, "f1": f1}
         ckpt_lib.save_checkpoint(
-            save_root / f"epoch_{epoch}_f1_{f1:.4f}",
-            params=params, opt_state=opt_state, step=global_step,
-            epoch=epoch, f1=f1, config_json=to_json(cfg))
+            last_path, params=params, opt_state=opt_state, **last_meta,
+            config_json=to_json(cfg))
 
         if f1 > best_f1:
-            best_f1, best_epoch = f1, epoch
+            best_f1, best_epoch, best_path = f1, epoch, last_path
         elif (tcfg.early_stop_patience is not None
               and epoch - best_epoch >= tcfg.early_stop_patience):
             if progress:
                 print(f"Early stopping at epoch {epoch} (best {best_f1:.4f} "
                       f"@ {best_epoch})")
             break
+
+    # Weibull fit ALWAYS runs on loop exit — after the last *executed* epoch
+    # (reference src/train.py:204-245), which under early stopping or a
+    # resume-shortened run is not epochs-1. Both the final and the best-F1
+    # checkpoints must carry a real fit, or OpenMax at inference degrades to
+    # scaling every input's logits (zero activation vectors, tau=0).
+    params = fit_weibull_into(params)
+    if last_path is not None:
+        ckpt_lib.save_checkpoint(last_path, params=params,
+                                 opt_state=opt_state, **last_meta,
+                                 config_json=to_json(cfg))
+    if best_path is not None and best_path != last_path:
+        b_params, b_opt, b_meta = ckpt_lib.restore_checkpoint(
+            best_path, params_template=params, opt_state_template=opt_state)
+        b_params = fit_weibull_into(mesh_lib.shard_params(b_params, mesh))
+        ckpt_lib.save_checkpoint(
+            best_path, params=b_params, opt_state=b_opt,
+            step=int(b_meta.get("step", 0)), epoch=int(b_meta.get("epoch", 0)),
+            f1=float(b_meta.get("f1", 0.0)), config_json=to_json(cfg))
 
     return {"params": params, "opt_state": opt_state, "history": history,
             "best_f1": best_f1, "final_f1": f1, "mesh": mesh}

@@ -126,6 +126,8 @@ def make_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig, tx,
                          < train_cfg.consistency_aug_fraction)
                 loss = loss + jnp.where(
                     apply, train_cfg.consistency_aug_weight * ce2, 0.0)
+                # keep telemetry equal to the optimized objective
+                metrics = metrics._replace(loss=loss)
             return loss, metrics
 
         (_, metrics), grads = jax.value_and_grad(

@@ -109,6 +109,38 @@ def test_train_eval_checkpoint_resume(synth_data, tmp_path):
     assert result2["history"][0]["epoch"] >= 1
 
 
+def test_early_stop_still_fits_weibull(synth_data, tmp_path):
+    """Round-1 hole: the Weibull fit was gated on epoch == epochs-1, so an
+    early-stopped run saved checkpoints with all-zero activation vectors and
+    OpenMax degraded to scaling every input's logits. The fit must happen on
+    loop exit, for both the final and the best-F1 checkpoints (reference
+    src/train.py:204-245 fits after the last *executed* epoch)."""
+    root = synth_data
+    tok = tok_lib.HashTokenizer(vocab_size=100)
+    # lr=0 -> params never change -> val F1 plateaus -> early stop at epoch 1
+    cfg = _config(root, tmp_path / "es", epochs=6, early_stop_patience=1)
+    import dataclasses as dc
+    cfg = dc.replace(cfg, train=dc.replace(cfg.train, lr=0.0))
+
+    result = loop.train(cfg, train_manifest=str(root / "train.jsonl"),
+                        val_manifest=str(root / "val.jsonl"),
+                        tokenizer=tok, progress=False)
+    assert len(result["history"]) == 2, "early stop should fire at epoch 1"
+
+    # returned params carry the fit
+    av = np.asarray(result["params"]["classifier"]["weibull"]["activation_vectors"])
+    assert np.abs(av).sum() > 0
+
+    # BOTH saved checkpoints (best = epoch 0 via strict >, last = epoch 1)
+    # carry the fit — whichever one best_checkpoint() resolves under F1 ties
+    dirs = sorted(p.parent for p in (tmp_path / "es").glob("epoch_*/meta.json"))
+    assert len(dirs) == 2
+    for d in dirs:
+        params_d, _, _ = ckpt.restore_checkpoint(d)
+        av_d = np.asarray(params_d["classifier"]["weibull"]["activation_vectors"])
+        assert np.abs(av_d).sum() > 0, f"zero Weibull fit in {d.name}"
+
+
 def test_two_phase_training(synth_data, tmp_path):
     """Phase 1 heads-only (frozen backbones), phase 2 full fine-tune
     (reference train_two_phase.py intent; that script is unrunnable)."""
