@@ -20,6 +20,17 @@ def main():
     p.add_argument("--output_dir", default="evaluation_results")
     p.add_argument("--dataset_root", default=None)
     p.add_argument("--no_benchmark", action="store_true")
+    p.add_argument("--no_few_shot", action="store_true")
+    p.add_argument("--no_robustness", action="store_true")
+    p.add_argument("--few_shot_shots", type=int, nargs="*", default=None,
+                   help="K values for few-shot adaptation (default: the "
+                        "reference's 10/25/50/100/250/500, clipped to the "
+                        "manifest size)")
+    p.add_argument("--few_shot_epochs", type=int, default=5)
+    p.add_argument("--full_ft_f1", type=float, default=None,
+                   help="full-fine-tune F1 for recovery-rate computation")
+    p.add_argument("--snr_levels", type=float, nargs="*", default=None,
+                   help="robustness SNR sweep (default 20 15 10 5 0 -5)")
     p.add_argument("--platform", default=None)
     args = p.parse_args()
 
@@ -43,7 +54,13 @@ def main():
           f"(epoch {meta.get('epoch')}, f1 {meta.get('f1')})")
     academic.run_academic_evaluation(
         params, cfg, args.manifest, batch_size=args.batch_size,
-        output_dir=args.output_dir, run_benchmark=not args.no_benchmark)
+        output_dir=args.output_dir, run_benchmark=not args.no_benchmark,
+        run_few_shot=not args.no_few_shot,
+        run_robustness=not args.no_robustness,
+        few_shot_shots=args.few_shot_shots,
+        few_shot_epochs=args.few_shot_epochs,
+        full_ft_f1=args.full_ft_f1,
+        robustness_snr_levels=args.snr_levels)
 
 
 if __name__ == "__main__":

@@ -9,9 +9,15 @@ Parity with /root/reference/src/evaluate_academic_complete.py:91-137:
   4. ASR performance tracking (:242-261; reference simulates hyp=ref —
      replicated when no ASR hypotheses are supplied)
   5. inference benchmarking (:263-304)
-  6. few-shot adaptation summary hooks (:306-325)
-  7. robustness: noise SNR sweep + code-mixing (:327-348)
+  6. few-shot adaptation: K-shot fine-tune of fusion/classifier/prototypes,
+     recovery-rate sweep (:306-325 -> evaluation/few_shot_adaptation.py)
+  7. robustness: noise SNR sweep (gaussian/babble/music) + Hindi/Bengali
+     code-mixing with degradation vs baseline (:327-348 ->
+     evaluation/robustness_evaluation.py)
   8. per-class accuracy + confusion matrix + report (:350-465)
+
+Plus per-SNR-band performance slicing (enhanced_evaluation.py:369-489)
+over the device-computed front-end SNR estimates.
 
 Everything funnels into one JSON-serializable dict plus a text report.
 """
@@ -22,23 +28,40 @@ import json
 from pathlib import Path
 from typing import Dict, Optional
 
+import copy
+
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config
+from ..data import pipeline as pipeline_mod
 from ..data.pipeline import BucketedLoader, SERDataset
 from ..data.tokenizer import Tokenizer, get_tokenizer
 from ..frontend import lid as lid_mod
+from ..frontend import quality_gates as qg
 from ..parallel import mesh as mesh_lib
 from ..utils import metrics as M
 from . import calibration as cal
 from . import evaluate as ev
+from . import few_shot as fs
 from . import openset as osr
 from . import robustness as rob
 from . import slicing
 from . import wer as wer_mod
 
 EMOTIONS_6 = ["angry", "happy", "sad", "neutral", "disgust", "fear"]
+
+
+class _ListLoader:
+    """Loader facade over pre-materialized host batches (decode audio once,
+    reuse across the baseline pass, SNR slicing, and the robustness sweeps)."""
+
+    def __init__(self, batches):
+        self.batches = list(batches)
+
+    def epoch(self, _=0):
+        return iter(self.batches)
 
 
 def run_academic_evaluation(params, cfg: Config, manifest: str, *,
@@ -48,12 +71,21 @@ def run_academic_evaluation(params, cfg: Config, manifest: str, *,
                             asr_hypotheses: Optional[list] = None,
                             output_dir: Optional[str] = None,
                             run_benchmark: bool = True,
+                            run_few_shot: bool = True,
+                            run_robustness: bool = True,
+                            few_shot_shots: Optional[list] = None,
+                            few_shot_epochs: int = 5,
+                            full_ft_f1: Optional[float] = None,
+                            robustness_snr_levels: Optional[list] = None,
+                            robustness_noise_types: tuple = ("gaussian",
+                                                             "babble", "music"),
+                            code_mix_languages: tuple = ("hi", "bn"),
                             verbose: bool = True) -> Dict:
     tok = tokenizer or get_tokenizer(vocab_size=cfg.model.text.vocab_size)
     mesh = mesh or mesh_lib.make_mesh()
     ds = SERDataset(manifest, cfg.data)
-    loader = BucketedLoader(ds, batch_size=batch_size, tokenizer=tok,
-                            shuffle=False)
+    loader = _ListLoader(BucketedLoader(ds, batch_size=batch_size,
+                                        tokenizer=tok, shuffle=False).epoch(0))
 
     # 1. baseline pass (single forward, logits + probs)
     out = ev.collect_logits(params, cfg, loader, mesh, use_openmax=True)
@@ -123,7 +155,130 @@ def run_academic_evaluation(params, cfg: Config, manifest: str, *,
             fwd, batch_sizes=sizes, warmup=2, runs=5)
         results["inference_benchmark"]["params"] = bench.count_params(params)
 
-    # 7. per-class + confusion (8.)
+    # per-SNR performance slicing (enhanced_evaluation.py:369-489): the SNR
+    # each utterance sees is the device-computed front-end estimate
+    # (frontend/quality_gates.py:81-103), collected batch-wise here
+    snr_step = jax.jit(qg.estimate_snr)
+    snr_all = []
+    for batch in loader.epoch(0):
+        keep = batch["example_mask"] > 0
+        snr_all.append(np.asarray(
+            snr_step(jnp.asarray(batch["audio"]),
+                     jnp.asarray(batch["audio_mask"])))[keep])
+    snrs = np.concatenate(snr_all) if snr_all else np.zeros((0,))
+    per_snr = slicing.slice_by_snr(labels, preds, conf, snrs)
+    results["per_snr"] = {k: vars(v) for k, v in per_snr.items()}
+
+    eval_step = None
+    if run_few_shot or run_robustness:
+        from ..train import train_step as ts
+        eval_step = ts.make_eval_step(cfg.model, use_openmax=True)
+
+    def _forward_batches(batches):
+        """Plain eval forward over host batches -> (preds, probs, labels)."""
+        lg, lb = [], []
+        for batch in batches:
+            dev = mesh_lib.shard_batch(
+                {k: v for k, v in batch.items()
+                 if k not in pipeline_mod.EVAL_HOST_KEYS}, mesh)
+            logits = np.asarray(eval_step(params, dev)[0], np.float64)
+            keep = batch["example_mask"] > 0
+            lg.append(logits[keep])
+            lb.append(batch["labels"][keep])
+        lg = np.concatenate(lg) if lg else np.zeros((0, cfg.model.num_labels))
+        lb = np.concatenate(lb) if lb else np.zeros((0,), np.int64)
+        ex = np.exp(lg - lg.max(axis=1, keepdims=True)) if len(lg) else lg
+        pr = ex / ex.sum(axis=1, keepdims=True) if len(lg) else lg
+        return lg.argmax(axis=1) if len(lg) else np.zeros(0, np.int64), pr, lb
+
+    # 6. few-shot adaptation (evaluate_academic_complete.py:306-325): K-shot
+    # fine-tune of fusion/classifier/prototypes with everything else frozen
+    if run_few_shot:
+        n_items = len(ds)
+        shots = few_shot_shots or [k for k in fs.DEFAULT_SHOTS
+                                   if k < n_items] or [max(1, n_items // 2)]
+
+        # reference adapts with batch 4 (few_shot_adaptation.py:71-76);
+        # rounded up to a multiple of the data axis so batches shard
+        data_n = int(mesh.shape[mesh_lib.DATA_AXIS])
+        sub_bs = -(-min(4, batch_size) // data_n) * data_n
+
+        def _subset_loader(indices, shuffle):
+            sub = copy.copy(ds)
+            sub.items = [ds.items[i] for i in indices]
+            return BucketedLoader(sub, batch_size=sub_bs,
+                                  tokenizer=tok, shuffle=shuffle, seed=42)
+
+        def make_batches(indices):
+            return [{k: v for k, v in b.items() if k != "indices"}
+                    for b in _subset_loader(indices, True).epoch(0)]
+
+        def evaluate_subset(p, indices):
+            sub_out = ev.collect_logits(
+                p, cfg, _subset_loader(indices, False), mesh,
+                use_openmax=True)
+            sp = sub_out["logits"].argmax(axis=1)
+            return {"f1": M.weighted_f1(sp, sub_out["labels"],
+                                        cfg.model.num_labels),
+                    "accuracy": M.accuracy(sp, sub_out["labels"])}
+
+        fs_results = fs.run_few_shot_suite(
+            params, cfg.model, make_batches=make_batches,
+            evaluate=evaluate_subset, n_items=n_items, shots=shots,
+            zero_shot_f1=results["baseline"]["weighted_f1"],
+            full_ft_f1=full_ft_f1, num_epochs=few_shot_epochs)
+        results["few_shot"] = [vars(r) for r in fs_results]
+
+    # 7. robustness (evaluate_academic_complete.py:327-348): noise SNR sweep
+    # + Hindi/Bengali code-mixing, degradation vs the part-1 baseline
+    if run_robustness:
+        baseline_f1 = results["baseline"]["weighted_f1"]
+
+        def noise_predict(batch, key, snr_db, noise_type):
+            dev = mesh_lib.shard_batch(
+                {k: v for k, v in batch.items()
+                 if k not in pipeline_mod.EVAL_HOST_KEYS}, mesh)
+            noisy = rob.add_noise_at_snr(key, dev["audio"], dev["audio_mask"],
+                                         jnp.float32(snr_db),
+                                         noise_type=noise_type)
+            logits = np.asarray(eval_step(params, {**dev, "audio": noisy})[0],
+                                np.float64)
+            keep = batch["example_mask"] > 0
+            logits = logits[keep]
+            e2 = np.exp(logits - logits.max(axis=1, keepdims=True))
+            return {"preds": logits.argmax(axis=1),
+                    "probs": e2 / e2.sum(axis=1, keepdims=True),
+                    "labels": batch["labels"][keep]}
+
+        noise_res = rob.evaluate_noise_robustness(
+            noise_predict, loader.batches,
+            snr_levels=tuple(robustness_snr_levels or rob.SNR_LEVELS_DEFAULT),
+            noise_types=tuple(robustness_noise_types),
+            baseline_f1=baseline_f1)
+
+        mixed_by_idx = {}
+
+        def mix_predict(mixed_texts):
+            for i, t in zip(idx, mixed_texts):
+                mixed_by_idx[int(i)] = t
+            remixed = []
+            for batch in loader.batches:
+                row_texts = [mixed_by_idx.get(int(i), "")
+                             for i in batch["indices"]]
+                ids, tmask = tok.encode_batch(row_texts,
+                                              cfg.data.max_text_tokens)
+                remixed.append({**batch, "text_ids": ids, "text_mask": tmask})
+            preds_m, probs_m, _ = _forward_batches(remixed)
+            return {"preds": preds_m, "probs": probs_m}
+
+        code_mix = {}
+        for lang in code_mix_languages:
+            code_mix[lang] = rob.evaluate_code_mixing(
+                mix_predict, texts, labels, target_language=lang,
+                baseline_f1=baseline_f1)
+        results["robustness"] = {"noise": noise_res, "code_mixing": code_mix}
+
+    # 8. per-class + confusion
     names = EMOTIONS_6[:cfg.model.num_labels]
     results["per_class_accuracy"] = {
         names[i]: float((preds[labels == i] == i).mean())
@@ -183,6 +338,36 @@ def generate_report(results: Dict, class_names) -> str:
                      f"(optimal: thr {rc['optimal_threshold']:.2f} "
                      f"cov {rc['optimal_coverage']:.2f} "
                      f"risk {rc['optimal_risk']:.3f})")
+    if results.get("per_snr"):
+        lines.append("")
+        lines.append("Per-SNR-band performance:")
+        lines.append(f"  {'band':>10} {'n':>6} {'wF1':>7} {'acc':>7} {'UAR':>7}")
+        for band, s in results["per_snr"].items():
+            lines.append(f"  {band:>10} {s['sample_count']:>6} "
+                         f"{s['weighted_f1']:7.3f} {s['accuracy']:7.3f} "
+                         f"{s['uar']:7.3f}")
+    if results.get("few_shot"):
+        lines.append("")
+        lines.append("Few-shot adaptation:")
+        lines.append(f"  {'shots':>6} {'F1':>8} {'acc':>8} {'recovery':>9}")
+        for r in results["few_shot"]:
+            rec = (f"{r['recovery_rate']:.1f}%"
+                   if r["recovery_rate"] > 0 else "N/A")
+            lines.append(f"  {r['num_shots']:>6} {r['f1_score']:8.4f} "
+                         f"{r['accuracy']:8.4f} {rec:>9}")
+    robres = results.get("robustness")
+    if robres:
+        lines.append("")
+        lines.append("Robustness (noise):")
+        for noise_type, per_snr_r in robres["noise"].items():
+            row = " ".join(f"{snr}:{m['weighted_f1']:.3f}"
+                           for snr, m in per_snr_r.items())
+            lines.append(f"  {noise_type:>9}: {row}")
+        lines.append("Robustness (code-mixing F1 by ratio):")
+        for lang, per_ratio in robres["code_mixing"].items():
+            row = " ".join(f"{k.split('_')[1]}:{m['weighted_f1']:.3f}"
+                           for k, m in per_ratio.items())
+            lines.append(f"  {lang:>9}: {row}")
     ib = results.get("inference_benchmark")
     if ib:
         best = ib["scaling"]

@@ -49,11 +49,19 @@ def adaptation_labels(params: dict) -> dict:
 def make_adapt_step(model_cfg: ModelConfig, tx):
     def step(params, opt_state, batch, rng):
         def loss_fn(p):
-            out = mdl.model_forward(p, model_cfg, batch, deterministic=False,
+            fwd = {k: v for k, v in batch.items()
+                   if k not in ("labels", "example_mask")}
+            out = mdl.model_forward(p, model_cfg, fwd, deterministic=False,
                                     dropout_key=rng, use_openmax=False)
             logp = jax.nn.log_softmax(out.logits)
             onehot = jax.nn.one_hot(batch["labels"], out.logits.shape[-1])
-            return -(onehot * logp).sum(-1).mean()
+            ce = -(onehot * logp).sum(-1)
+            # padded rows (partial final batch) carry example_mask 0 and
+            # must not contaminate the K-shot objective
+            w = batch.get("example_mask")
+            if w is None:
+                return ce.mean()
+            return (ce * w).sum() / jnp.maximum(w.sum(), 1.0)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, new_opt_state = tx.update(grads, opt_state, params)

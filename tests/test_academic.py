@@ -50,7 +50,12 @@ def test_academic_battery(setup, tmp_path):
     tok = tok_lib.HashTokenizer(vocab_size=100)
     res = academic.run_academic_evaluation(
         params, cfg, str(root / "val.jsonl"), batch_size=8, tokenizer=tok,
-        output_dir=str(tmp_path / "out"), run_benchmark=True, verbose=False)
+        output_dir=str(tmp_path / "out"), run_benchmark=True,
+        run_few_shot=True, few_shot_shots=[4, 8], few_shot_epochs=1,
+        full_ft_f1=0.9,
+        run_robustness=True, robustness_snr_levels=[20.0, 0.0],
+        robustness_noise_types=("gaussian", "babble"),
+        verbose=False)
 
     b = res["baseline"]
     assert b["num_samples"] == 24
@@ -76,9 +81,38 @@ def test_academic_battery(setup, tmp_path):
     assert res["inference_benchmark"]["params"]["total_params"] > 0
     assert len(res["confusion_matrix"]) == 4
 
+    # per-SNR slicing over the device-computed front-end SNR estimates
+    assert res["per_snr"], "no SNR band populated"
+    assert sum(s["sample_count"] for s in res["per_snr"].values()) == 24
+
+    # part 6: few-shot adaptation ran both K values with recovery rates
+    assert [r["num_shots"] for r in res["few_shot"]] == [4, 8]
+    for r in res["few_shot"]:
+        assert 0.0 <= r["f1_score"] <= 1.0
+        assert 0.0 <= r["recovery_rate"] <= 100.0
+
+    # part 7: robustness — noise sweep shape + code-mixing both languages
+    noise = res["robustness"]["noise"]
+    assert set(noise) == {"gaussian", "babble"}
+    for per_snr in noise.values():
+        assert set(per_snr) == {"20dB", "0dB"}
+        for m in per_snr.values():
+            assert 0.0 <= m["weighted_f1"] <= 1.0
+            assert "f1_degradation" in m
+            assert 0.0 <= m["ood_trigger_rate"] <= 1.0
+    cm = res["robustness"]["code_mixing"]
+    assert set(cm) == {"hi", "bn"}
+    for per_ratio in cm.values():
+        assert set(per_ratio) == {"ratio_0", "ratio_0.25", "ratio_0.5",
+                                  "ratio_0.75", "ratio_1"}
+
     # artifacts written
     out = tmp_path / "out"
     data = json.loads((out / "academic_evaluation.json").read_text())
     assert data["baseline"]["num_samples"] == 24
+    assert "few_shot" in data and "robustness" in data
     report = (out / "academic_report.txt").read_text()
     assert "ACADEMIC EVALUATION REPORT" in report
+    assert "Few-shot adaptation" in report
+    assert "Robustness (noise)" in report
+    assert "Per-SNR-band performance" in report
