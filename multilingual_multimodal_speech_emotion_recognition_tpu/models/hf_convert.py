@@ -7,9 +7,12 @@ the capability the reference gets from `from_pretrained`
 loading the frozen pretrained backbones. Works from either a live torch
 module's state_dict or a dict of numpy arrays.
 
-Backbone swaps (WavLM-Large / HuBERT-Large use the same conv+transformer
-skeleton with `feat_extract_norm="layer"` variants) reuse these mappings —
-see BASELINE.json config matrix.
+Backbone swaps: wav2vec2-large and HuBERT-Large (identical key layout:
+feat_extract_norm="layer" per-conv LayerNorms + conv bias +
+do_stable_layer_norm pre-LN encoder) convert directly through
+`wav2vec2_from_hf`; set the matching flags on Wav2Vec2Config. WavLM is NOT
+covered by this mapping — its attention carries gated relative position
+bias tensors (rel_attn_embed / gru_rel_pos) with no equivalent here.
 """
 
 from __future__ import annotations
@@ -71,14 +74,28 @@ def _count(sd: Mapping, pattern: str) -> int:
 
 def wav2vec2_from_hf(state_dict: Mapping, num_layers: int | None = None,
                      num_convs: int | None = None) -> dict:
+    """Works for both feature-extractor norm variants: base-style
+    (feat_extract_norm="group": a single group norm on conv 0) and
+    large/HuBERT-Large-style (feat_extract_norm="layer": per-conv channel
+    LayerNorm + conv bias) — detected from the state-dict keys. The encoder
+    layer weights are identical across do_stable_layer_norm modes (only the
+    runtime block ordering differs, set via Wav2Vec2Config)."""
     sd = dict(state_dict)
     if num_convs is None:
         num_convs = _count(sd, "feature_extractor.conv_layers.{}.conv.weight")
     if num_layers is None:
         num_layers = _count(sd, "encoder.layers.{}.final_layer_norm.weight")
 
-    convs = [_conv(sd, f"feature_extractor.conv_layers.{i}.conv")
-             for i in range(num_convs)]
+    # conv 0's "layer_norm" is the group norm in group mode; a per-conv LN on
+    # layer >= 1 is unambiguous evidence of feat_extract_norm="layer"
+    layer_feat_norm = "feature_extractor.conv_layers.1.layer_norm.weight" in sd
+
+    convs = []
+    for i in range(num_convs):
+        c = _conv(sd, f"feature_extractor.conv_layers.{i}.conv")
+        if layer_feat_norm:
+            c["ln"] = _ln(sd, f"feature_extractor.conv_layers.{i}.layer_norm")
+        convs.append(c)
 
     pos_w = _pos_conv_weight(sd, "encoder.pos_conv_embed.conv")
     pos_conv = {"kernel": jnp.asarray(pos_w.transpose(2, 1, 0)),
@@ -103,7 +120,6 @@ def wav2vec2_from_hf(state_dict: Mapping, num_layers: int | None = None,
 
     params = {
         "convs": convs,
-        "group_norm": _ln(sd, "feature_extractor.conv_layers.0.layer_norm"),
         "feat_proj": {
             "ln": _ln(sd, "feature_projection.layer_norm"),
             "proj": _lin(sd, "feature_projection.projection"),
@@ -112,6 +128,8 @@ def wav2vec2_from_hf(state_dict: Mapping, num_layers: int | None = None,
         "encoder_ln": _ln(sd, "encoder.layer_norm"),
         "layers": stacked,
     }
+    if not layer_feat_norm:
+        params["group_norm"] = _ln(sd, "feature_extractor.conv_layers.0.layer_norm")
     if "masked_spec_embed" in sd:
         params["masked_spec_embed"] = jnp.asarray(_np(sd["masked_spec_embed"]))
     else:

@@ -49,6 +49,13 @@ class Wav2Vec2Config:
     layer_norm_eps: float = 1e-5
     num_conv_pos_embeddings: int = 128
     num_conv_pos_embedding_groups: int = 16
+    # Large-model variants (wav2vec2-large / HuBERT-Large; HF
+    # do_stable_layer_norm=True uses pre-LN encoder blocks with a final LN
+    # after the stack, feat_extract_norm="layer" gives every conv layer its
+    # own channel LayerNorm instead of the single group norm on conv 0 —
+    # those checkpoints also carry conv biases).
+    do_stable_layer_norm: bool = False
+    feat_extract_norm: str = "group"  # "group" | "layer"
     hidden_dropout: float = 0.1
     attention_dropout: float = 0.1
     activation_dropout: float = 0.1
@@ -86,6 +93,8 @@ def init_wav2vec2(key: Array, cfg: Wav2Vec2Config, dtype=jnp.float32) -> dict:
         conv = {"kernel": w}
         if cfg.conv_bias:
             conv["bias"] = jnp.zeros((out_c,), dtype)
+        if cfg.feat_extract_norm == "layer":
+            conv["ln"] = layers.init_layer_norm(out_c, dtype=dtype)
         convs.append(conv)
         in_c = out_c
 
@@ -131,15 +140,17 @@ def init_wav2vec2(key: Array, cfg: Wav2Vec2Config, dtype=jnp.float32) -> dict:
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
                            *[one_layer(k) for k in layer_keys])
 
-    return {
+    params = {
         "convs": convs,
-        "group_norm": gn,
         "feat_proj": feat_proj,
         "pos_conv": pos_conv,
         "encoder_ln": layers.init_layer_norm(cfg.hidden_size, dtype=dtype),
         "layers": stacked,
         "masked_spec_embed": jax.random.uniform(kmask, (cfg.hidden_size,), dtype),
     }
+    if cfg.feat_extract_norm == "group":
+        params["group_norm"] = gn
+    return params
 
 
 # ---------------------------------------------------------------------------
@@ -195,7 +206,11 @@ def feature_encoder(params: dict, cfg: Wav2Vec2Config, wave: Array,
     for i, conv in enumerate(params["convs"]):
         x = _conv1d(conv, x, cfg.conv_stride[i])
         lengths = (lengths - cfg.conv_kernel[i]) // cfg.conv_stride[i] + 1
-        if i == 0:
+        if cfg.feat_extract_norm == "layer":
+            # per-frame channel LN (HF Wav2Vec2LayerNormConvLayer) — the
+            # statistics are per (b, t), so batched == per-sample for free
+            x = layers.layer_norm(conv["ln"], x, eps=cfg.layer_norm_eps)
+        elif i == 0:
             fm = (jnp.arange(x.shape[1])[None, :] < lengths[:, None])
             x = masked_group_norm_per_channel(params["group_norm"], x, fm)
         x = jax.nn.gelu(x, approximate=False)
@@ -236,24 +251,38 @@ def _encoder_stack(stacked: dict, cfg: Wav2Vec2Config, h: Array,
         else:
             k1 = k2 = k3 = k4 = None
         B, S, E = x.shape
-        q = (layers.linear(layer["q"], x) * scale).reshape(B, S, H, D)
-        k = layers.linear(layer["k"], x).reshape(B, S, H, D)
-        v = layers.linear(layer["v"], x).reshape(B, S, H, D)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
-        if attn_bias is not None:
-            logits = logits + attn_bias
-        attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-        attn = layers.dropout(k1, attn, cfg.attention_dropout, deterministic)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, S, E)
-        ctx = layers.linear(layer["out"], ctx)
-        ctx = layers.dropout(k2, ctx, cfg.hidden_dropout, deterministic)
-        x = layers.layer_norm(layer["attn_ln"], x + ctx, eps=cfg.layer_norm_eps)
 
-        f = jax.nn.gelu(layers.linear(layer["ffn_in"], x), approximate=False)
-        f = layers.dropout(k3, f, cfg.activation_dropout, deterministic)
-        f = layers.linear(layer["ffn_out"], f)
-        f = layers.dropout(k4, f, cfg.hidden_dropout, deterministic)
-        x = layers.layer_norm(layer["final_ln"], x + f, eps=cfg.layer_norm_eps)
+        def attention(xin):
+            q = (layers.linear(layer["q"], xin) * scale).reshape(B, S, H, D)
+            k = layers.linear(layer["k"], xin).reshape(B, S, H, D)
+            v = layers.linear(layer["v"], xin).reshape(B, S, H, D)
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+            if attn_bias is not None:
+                logits = logits + attn_bias
+            attn = jax.nn.softmax(logits, axis=-1).astype(xin.dtype)
+            attn = layers.dropout(k1, attn, cfg.attention_dropout, deterministic)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, S, E)
+            ctx = layers.linear(layer["out"], ctx)
+            return layers.dropout(k2, ctx, cfg.hidden_dropout, deterministic)
+
+        def ffn(xin):
+            f = jax.nn.gelu(layers.linear(layer["ffn_in"], xin),
+                            approximate=False)
+            f = layers.dropout(k3, f, cfg.activation_dropout, deterministic)
+            f = layers.linear(layer["ffn_out"], f)
+            return layers.dropout(k4, f, cfg.hidden_dropout, deterministic)
+
+        if cfg.do_stable_layer_norm:
+            # pre-LN block (HF Wav2Vec2EncoderLayerStableLayerNorm)
+            x = x + attention(
+                layers.layer_norm(layer["attn_ln"], x, eps=cfg.layer_norm_eps))
+            x = x + ffn(
+                layers.layer_norm(layer["final_ln"], x, eps=cfg.layer_norm_eps))
+        else:
+            x = layers.layer_norm(layer["attn_ln"], x + attention(x),
+                                  eps=cfg.layer_norm_eps)
+            x = layers.layer_norm(layer["final_ln"], x + ffn(x),
+                                  eps=cfg.layer_norm_eps)
         return (x, key), None
 
     if remat:
@@ -297,11 +326,17 @@ def wav2vec2_encode(params: dict, cfg: Wav2Vec2Config, wave: Array,
     pos = pos[:, : h.shape[1], :]
     pos = jax.nn.gelu(pos, approximate=False)
     h = h + pos
-    h = layers.layer_norm(params["encoder_ln"], h, eps=cfg.layer_norm_eps)
+    if not cfg.do_stable_layer_norm:
+        # post-LN encoder normalizes before the stack (HF Wav2Vec2Encoder)
+        h = layers.layer_norm(params["encoder_ln"], h, eps=cfg.layer_norm_eps)
     h = layers.dropout(k_drop, h, cfg.hidden_dropout, deterministic)
 
     attn_bias = jnp.where(frame_mask[:, None, None, :] == 0, -jnp.inf, 0.0)
     h = _encoder_stack(params["layers"], cfg, h, attn_bias,
                        dropout_key=k_enc, deterministic=deterministic,
                        remat=remat)
+    if cfg.do_stable_layer_norm:
+        # stable-LN encoder normalizes after the stack
+        # (HF Wav2Vec2EncoderStableLayerNorm.forward)
+        h = layers.layer_norm(params["encoder_ln"], h, eps=cfg.layer_norm_eps)
     return h, frame_mask

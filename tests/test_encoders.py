@@ -90,6 +90,100 @@ def test_wav2vec2_batched_matches_hf_per_sample(hf_w2v2):
         np.testing.assert_allclose(got[i, :n_valid], want, rtol=5e-4, atol=5e-5)
 
 
+def test_wav2vec2_stable_layer_norm_matches_hf_per_sample():
+    """Large-model variant: do_stable_layer_norm=True (pre-LN encoder with
+    final LN after the stack) + feat_extract_norm="layer" (per-conv channel
+    LN, conv bias) — the wav2vec2-large / HuBERT-Large configuration
+    (BASELINE.md config matrix; HF Wav2Vec2EncoderStableLayerNorm)."""
+    import torch
+    from transformers import Wav2Vec2Config, Wav2Vec2Model
+    torch.manual_seed(7)
+    hcfg = Wav2Vec2Config(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=64, conv_dim=(16, 16, 16), conv_stride=(5, 2, 2),
+        conv_kernel=(10, 3, 3), num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4, do_stable_layer_norm=True,
+        feat_extract_norm="layer", conv_bias=True,
+        apply_spec_augment=False, layerdrop=0.0)
+    m = Wav2Vec2Model(hcfg).eval()
+
+    cfg = w2v.Wav2Vec2Config(
+        conv_dim=tuple(hcfg.conv_dim), conv_stride=tuple(hcfg.conv_stride),
+        conv_kernel=tuple(hcfg.conv_kernel), conv_bias=True,
+        hidden_size=hcfg.hidden_size,
+        num_hidden_layers=hcfg.num_hidden_layers,
+        num_attention_heads=hcfg.num_attention_heads,
+        intermediate_size=hcfg.intermediate_size,
+        num_conv_pos_embeddings=hcfg.num_conv_pos_embeddings,
+        num_conv_pos_embedding_groups=hcfg.num_conv_pos_embedding_groups,
+        do_stable_layer_norm=True, feat_extract_norm="layer",
+        apply_spec_augment=False)
+    params = conv.wav2vec2_from_hf(m.state_dict())
+    # the converter must have detected the layer-norm-conv layout
+    assert "ln" in params["convs"][1]
+    assert "group_norm" not in params
+
+    lengths = [400, 333, 260]
+    T = max(lengths)
+    wave = np.zeros((3, T), np.float32)
+    mask = np.zeros((3, T), np.float32)
+    raw = []
+    for i, L in enumerate(lengths):
+        x = RNG.standard_normal(L).astype(np.float32)
+        raw.append(x)
+        xn = (x - x.mean()) / np.sqrt(x.var() + 1e-7)
+        wave[i, :L] = xn
+        mask[i, :L] = 1
+
+    got, frame_mask = w2v.wav2vec2_encode(params, cfg, jnp.asarray(wave),
+                                          jnp.asarray(mask), normalize=False)
+    got = np.asarray(got)
+    fm = np.asarray(frame_mask)
+    for i, x in enumerate(raw):
+        xn = (x - x.mean()) / np.sqrt(x.var() + 1e-7)
+        with torch.no_grad():
+            want = m(torch.from_numpy(xn[None])).last_hidden_state[0].numpy()
+        n_valid = int(fm[i].sum())
+        assert n_valid == want.shape[0]
+        np.testing.assert_allclose(got[i, :n_valid], want, rtol=5e-4, atol=5e-5)
+
+
+def test_hubert_converts_and_matches_hf():
+    """HuBERT-Large uses the identical key layout (per-conv LN, conv bias,
+    stable LN encoder) — hf_convert.wav2vec2_from_hf must convert a
+    HubertModel state dict directly (BASELINE.md backbone matrix)."""
+    import torch
+    from transformers import HubertConfig, HubertModel
+    torch.manual_seed(11)
+    hcfg = HubertConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=64, conv_dim=(16, 16, 16), conv_stride=(5, 2, 2),
+        conv_kernel=(10, 3, 3), num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4, do_stable_layer_norm=True,
+        feat_extract_norm="layer", conv_bias=True,
+        apply_spec_augment=False, layerdrop=0.0)
+    m = HubertModel(hcfg).eval()
+    cfg = w2v.Wav2Vec2Config(
+        conv_dim=(16, 16, 16), conv_stride=(5, 2, 2), conv_kernel=(10, 3, 3),
+        conv_bias=True, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+        do_stable_layer_norm=True, feat_extract_norm="layer",
+        apply_spec_augment=False)
+    params = conv.wav2vec2_from_hf(m.state_dict())
+
+    L = 400
+    x = RNG.standard_normal(L).astype(np.float32)
+    got, fm = w2v.wav2vec2_encode(params, cfg, jnp.asarray(x[None]),
+                                  jnp.ones((1, L)), normalize=False)
+    with torch.no_grad():
+        want = m(torch.from_numpy(x[None])).last_hidden_state[0].numpy()
+    n_valid = int(np.asarray(fm)[0].sum())
+    assert n_valid == want.shape[0]
+    np.testing.assert_allclose(np.asarray(got)[0, :n_valid], want,
+                               rtol=5e-4, atol=5e-5)
+
+
 def test_wav2vec2_masked_normalize_matches_hf_fe(hf_w2v2):
     # our normalize=True path equals HF's zero_mean_unit_var_norm per sample
     L, T = 300, 400
