@@ -25,6 +25,9 @@ def main():
     p.add_argument("--calibrate", action="store_true")
     p.add_argument("--val_manifest", type=str, default=None)
     p.add_argument("--dataset_root", type=str, default=None)
+    p.add_argument("--use_asr", action="store_true",
+                   help="force the ASR feature path on (normally restored "
+                        "from the checkpoint's embedded config)")
     p.add_argument("--platform", type=str, default=None)
     args = p.parse_args()
 
@@ -42,6 +45,10 @@ def main():
     if args.dataset_root:
         cfg = dataclasses.replace(
             cfg, data=dataclasses.replace(cfg.data, dataset_root=args.dataset_root))
+    if args.use_asr:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, use_asr=True),
+            data=dataclasses.replace(cfg.data, emit_asr_feats=True))
 
     params, _, meta = ckpt.restore_checkpoint(args.checkpoint)
     print(f"Loaded checkpoint: {args.checkpoint} "

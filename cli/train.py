@@ -43,6 +43,15 @@ def main():
     p.add_argument("--supcon_weight", type=float, default=0.0)
     p.add_argument("--no_quality_gates", action="store_true")
     p.add_argument("--no_audio_conditioning", action="store_true")
+    p.add_argument("--use_asr", action="store_true",
+                   help="fuse 8-dim ASR features into the text encoder and "
+                        "emit them from the data pipeline "
+                        "(train_crema.py:122, text_encoder.py:39-48)")
+    p.add_argument("--audio_backbone",
+                   choices=["wav2vec2-base", "wav2vec2-large", "hubert-large"],
+                   default="wav2vec2-base",
+                   help="audio backbone architecture preset (large presets "
+                        "use the stable-LN / layer-norm-conv variant)")
     p.add_argument("--wav2vec2_checkpoint", type=str, default=None,
                    help="path or HF name for pretrained audio backbone")
     p.add_argument("--xlmr_checkpoint", type=str, default=None)
@@ -98,20 +107,27 @@ def main():
                         scheduler="cosine_restarts", restart_period_epochs=3,
                         grad_clip=args.grad_clip or 1.0)
 
+    from multilingual_multimodal_speech_emotion_recognition_tpu.config import (
+        AUDIO_BACKBONE_PRESETS)
     cfg = Config(
         model=ModelConfig(
             num_labels=num_labels,
             classifier_dropout=dropout,
             compute_dtype="bfloat16" if args.use_amp else "float32",
             use_quality_gates=not args.no_quality_gates,
-            use_audio_conditioning=not args.no_audio_conditioning),
-        data=DataConfig(dataset_root=args.dataset_root),
+            use_audio_conditioning=not args.no_audio_conditioning,
+            use_asr=args.use_asr,
+            audio=AUDIO_BACKBONE_PRESETS[args.audio_backbone]()),
+        data=DataConfig(dataset_root=args.dataset_root,
+                        emit_asr_feats=args.use_asr),
         train=TrainConfig(**train_kw))
 
     pretrained = {}
     if args.wav2vec2_checkpoint:
-        from transformers import Wav2Vec2Model
-        pretrained["wav2vec2_state"] = Wav2Vec2Model.from_pretrained(
+        # AutoModel resolves Wav2Vec2Model or HubertModel; both convert
+        # through hf_convert.wav2vec2_from_hf (identical key layout)
+        from transformers import AutoModel
+        pretrained["wav2vec2_state"] = AutoModel.from_pretrained(
             args.wav2vec2_checkpoint).state_dict()
     if args.xlmr_checkpoint:
         from transformers import AutoModel

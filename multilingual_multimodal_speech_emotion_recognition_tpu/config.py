@@ -48,6 +48,28 @@ class ModelConfig:
         return self.text.hidden_size
 
 
+def wav2vec2_large_audio_config() -> Wav2Vec2Config:
+    """facebook/wav2vec2-large(-960h-lv60 etc.): 24 pre-LN layers, 16 heads,
+    1024 hidden, layer-norm conv stack with bias."""
+    return Wav2Vec2Config(
+        hidden_size=1024, num_hidden_layers=24, num_attention_heads=16,
+        intermediate_size=4096, conv_bias=True,
+        do_stable_layer_norm=True, feat_extract_norm="layer")
+
+
+def hubert_large_audio_config() -> Wav2Vec2Config:
+    """facebook/hubert-large-ls960-ft — same skeleton as wav2vec2-large;
+    converts through hf_convert.wav2vec2_from_hf (identical key layout)."""
+    return wav2vec2_large_audio_config()
+
+
+AUDIO_BACKBONE_PRESETS = {
+    "wav2vec2-base": Wav2Vec2Config,
+    "wav2vec2-large": wav2vec2_large_audio_config,
+    "hubert-large": hubert_large_audio_config,
+}
+
+
 @dataclasses.dataclass(frozen=True)
 class DataConfig:
     sample_rate: int = 16000

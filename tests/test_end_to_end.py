@@ -141,6 +141,30 @@ def test_early_stop_still_fits_weibull(synth_data, tmp_path):
         assert np.abs(av_d).sum() > 0, f"zero Weibull fit in {d.name}"
 
 
+def test_train_with_asr_features_flowing(synth_data, tmp_path):
+    """--use_asr end to end (train_crema.py:122, text_encoder.py:39-48):
+    DataConfig.emit_asr_feats puts 8-dim ASR features in batches and
+    ModelConfig.use_asr fuses them into the text encoder — proven by the
+    asr_fusion params receiving gradient updates during training."""
+    import dataclasses as dc
+    root = synth_data
+    tok = tok_lib.HashTokenizer(vocab_size=100)
+    cfg = _config(root, tmp_path / "asr", epochs=1)
+    cfg = dc.replace(cfg,
+                     model=dc.replace(cfg.model, use_asr=True),
+                     data=dc.replace(cfg.data, emit_asr_feats=True))
+    import multilingual_multimodal_speech_emotion_recognition_tpu.models.model as mdl
+    init = mdl.init_model(jax.random.key(0), cfg.model)
+    before = np.asarray(init["asr_fusion"]["lin"]["kernel"]).copy()
+    result = loop.train(cfg, train_manifest=str(root / "train.jsonl"),
+                        val_manifest=str(root / "val.jsonl"),
+                        tokenizer=tok, initial_params=init, progress=False)
+    after = np.asarray(result["params"]["asr_fusion"]["lin"]["kernel"])
+    assert not np.array_equal(before, after), \
+        "asr_fusion never updated — ASR features did not flow"
+    assert np.isfinite(result["history"][0]["train_loss"])
+
+
 def test_two_phase_training(synth_data, tmp_path):
     """Phase 1 heads-only (frozen backbones), phase 2 full fine-tune
     (reference train_two_phase.py intent; that script is unrunnable)."""
