@@ -69,23 +69,47 @@ class EmotionRecognitionInterface:
 
     @functools.cached_property
     def _fwd_tta(self):
+        """Feature-averaging TTA (reference interface.py:181-204): encode
+        the audio views (orig, speed 0.9/1.1, noise 15/20 dB — the
+        interface's factor set differs from eval.py's), average the audio
+        *sequence features* across views, then run cross-attention /
+        pooling / fusion / classifier ONCE on the averaged sequence. Text
+        is encoded once. A different estimator from eval.py's
+        logit-averaging TTA — kept distinct deliberately."""
         cfg = self.cfg.model
 
         @functools.partial(jax.jit, static_argnames=("num_tta",))
         def fwd(params, batch, key, num_tta):
             wave, mask = audio_dsp.tta_expand(key, batch["audio"],
                                               batch["audio_mask"],
-                                              num_tta=num_tta)
+                                              num_tta=num_tta,
+                                              speed_factors=(0.9, 1.1))
             tile = lambda x: jnp.concatenate([x] * num_tta, axis=0)
             big = {**{k: tile(v) for k, v in batch.items()
                       if k not in ("audio", "audio_mask")},
                    "audio": wave, "audio_mask": mask}
-            out = mdl.model_forward(params, cfg, big, deterministic=True,
-                                    use_openmax=True)
+            wave, qf, cf = mdl.frontend_features(cfg, big)
+
+            dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                     else jnp.float32)
+            p = (mdl.cast_floating(params, dtype)
+                 if dtype != jnp.float32 else params)
+            a_seq, a_fm = mdl.encode_audio(
+                p, cfg, wave.astype(dtype), mask,
+                quality_feats=qf, cond_feats=cf, deterministic=True)
             B = batch["audio"].shape[0]
-            logits = out.logits.reshape(num_tta, B, -1).mean(0)
-            unc = out.uncertainty.reshape(num_tta, B, -1).mean(0)
-            return logits, unc, out.anchor_loss
+            # average sequence features over views; downstream masking uses
+            # view 0 (the original clip's frame validity)
+            a_seq = a_seq.reshape(num_tta, B, *a_seq.shape[1:]).mean(0)
+            a_fm = a_fm.reshape(num_tta, B, -1)[0]
+
+            t_seq, t_mask = mdl.encode_text(
+                p, cfg, batch["text_ids"], batch["text_mask"],
+                asr_feats=batch.get("asr_feats"), deterministic=True)
+
+            out = mdl.model_heads(params, cfg, a_seq, a_fm, t_seq, t_mask,
+                                  deterministic=True, use_openmax=True)
+            return out.logits, out.uncertainty, out.anchor_loss
 
         return fwd
 

@@ -164,29 +164,16 @@ def encode_text(params: dict, cfg: ModelConfig, input_ids: Array,
     return seq, text_mask
 
 
-def model_forward(params: dict, cfg: ModelConfig, batch: dict, *,
-                  deterministic: bool = True,
-                  dropout_key: Optional[Array] = None,
-                  use_openmax: bool = False,
-                  spec_augment: bool = False) -> ModelOutput:
-    """batch keys: audio [B,T] f32, audio_mask [B,T], text_ids [B,S] i32,
-    text_mask [B,S]; optional quality_feats [B,8], cond_feats [B,12],
-    asr_feats [B,8]."""
-    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-    p = cast_floating(params, dtype) if dtype != jnp.float32 else params
-
-    if dropout_key is not None:
-        k_a, k_t, k_x, k_fu, k_c = jax.random.split(dropout_key, 5)
-    else:
-        k_a = k_t = k_x = k_fu = k_c = None
-
+def frontend_features(cfg: ModelConfig, batch: dict):
+    """Device-side front-end DSP, replacing the per-sample host loop the
+    reference runs inside AudioEncoder.forward (audio_encoder.py:65-88):
+    gates may zero rejected audio; conditioning filters feed the encoder.
+    Returns (wave, quality_feats, cond_feats); feats stay None when the
+    front-end is disabled and the batch carries none."""
     wave = batch["audio"]
     wave_mask = batch["audio_mask"]
     quality_feats = batch.get("quality_feats")
     cond_feats = batch.get("cond_feats")
-    # Device-side front-end DSP, replacing the per-sample host loop the
-    # reference runs inside AudioEncoder.forward (audio_encoder.py:65-88):
-    # gates may zero rejected audio; conditioning filters feed the encoder.
     if (cfg.frontend_dsp and (cfg.use_quality_gates or cfg.use_audio_conditioning)
             and quality_feats is None and cond_feats is None):
         from ..frontend import frontend_process
@@ -199,16 +186,25 @@ def model_forward(params: dict, cfg: ModelConfig, batch: dict, *,
             lid_entropy=ent, lid_confidence=conf,
             use_gates=cfg.use_quality_gates,
             use_conditioning=cfg.use_audio_conditioning)
+    return wave, quality_feats, cond_feats
 
-    a_seq, a_mask = encode_audio(
-        p, cfg, wave.astype(dtype), wave_mask,
-        quality_feats=quality_feats, cond_feats=cond_feats,
-        deterministic=deterministic, dropout_key=k_a,
-        spec_augment=spec_augment)
-    t_seq, t_mask = encode_text(
-        p, cfg, batch["text_ids"], batch["text_mask"],
-        asr_feats=batch.get("asr_feats"),
-        deterministic=deterministic, dropout_key=k_t)
+
+def model_heads(params: dict, cfg: ModelConfig, a_seq: Array, a_mask: Array,
+                t_seq: Array, t_mask: Array, *,
+                deterministic: bool = True,
+                dropout_key: Optional[Array] = None,
+                use_openmax: bool = False) -> ModelOutput:
+    """Cross-modal attention -> pooling x2 -> gated fusion -> classifier,
+    from already-encoded modality sequences (`params` is the raw/uncast
+    tree). Split out so the interface's feature-averaging TTA
+    (reference interface.py:181-204) can run the heads once over averaged
+    audio features."""
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    p = cast_floating(params, dtype) if dtype != jnp.float32 else params
+    if dropout_key is not None:
+        k_x, k_fu, k_c = jax.random.split(dropout_key, 3)
+    else:
+        k_x = k_fu = k_c = None
 
     a_enh, t_enh = cma.cross_modal_attention(
         p["cross"], a_seq, t_seq, a_mask, t_mask, num_heads=cfg.num_heads,
@@ -233,6 +229,40 @@ def model_forward(params: dict, cfg: ModelConfig, batch: dict, *,
                        anchor_similarities=out.anchor_similarities,
                        features=out.features, fused=fused.astype(jnp.float32),
                        audio_vec=a_vec, text_vec=t_vec)
+
+
+def model_forward(params: dict, cfg: ModelConfig, batch: dict, *,
+                  deterministic: bool = True,
+                  dropout_key: Optional[Array] = None,
+                  use_openmax: bool = False,
+                  spec_augment: bool = False) -> ModelOutput:
+    """batch keys: audio [B,T] f32, audio_mask [B,T], text_ids [B,S] i32,
+    text_mask [B,S]; optional quality_feats [B,8], cond_feats [B,12],
+    asr_feats [B,8]."""
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    p = cast_floating(params, dtype) if dtype != jnp.float32 else params
+
+    if dropout_key is not None:
+        k_a, k_t, k_heads = jax.random.split(dropout_key, 3)
+    else:
+        k_a = k_t = k_heads = None
+
+    wave, quality_feats, cond_feats = frontend_features(cfg, batch)
+    wave_mask = batch["audio_mask"]
+
+    a_seq, a_mask = encode_audio(
+        p, cfg, wave.astype(dtype), wave_mask,
+        quality_feats=quality_feats, cond_feats=cond_feats,
+        deterministic=deterministic, dropout_key=k_a,
+        spec_augment=spec_augment)
+    t_seq, t_mask = encode_text(
+        p, cfg, batch["text_ids"], batch["text_mask"],
+        asr_feats=batch.get("asr_feats"),
+        deterministic=deterministic, dropout_key=k_t)
+
+    return model_heads(params, cfg, a_seq, a_mask, t_seq, t_mask,
+                       deterministic=deterministic, dropout_key=k_heads,
+                       use_openmax=use_openmax)
 
 
 def load_pretrained_backbones(params: dict, *, wav2vec2_state=None,

@@ -159,15 +159,19 @@ def augment_batch(key: Array, wave: Array, mask: Array, *,
 
 
 def tta_expand(key: Array, wave: Array, mask: Array, *, num_tta: int = 5,
-               sample_rate: int = 16000) -> Tuple[Array, Array]:
+               sample_rate: int = 16000,
+               speed_factors: Tuple[float, float] = (0.95, 1.05)
+               ) -> Tuple[Array, Array]:
     """Eval-time TTA (eval.py:23-41): [orig, speed .95, speed 1.05,
     noise 15 dB, noise 20 dB][:num_tta], stacked as [V*B, T] with masks.
-    Views are grouped view-major so logits reshape to [V, B, C].mean(0)."""
+    Views are grouped view-major so logits reshape to [V, B, C].mean(0).
+    The interface path uses speed_factors=(0.9, 1.1) (interface.py:187-190
+    differs from eval.py's factor set)."""
     B, T = wave.shape
     lengths = jnp.sum(mask.astype(jnp.int32), axis=-1)
     views = [(wave, mask)]
 
-    for f in (0.95, 1.05):
+    for f in speed_factors:
         w = speed_perturb(wave, f, sample_rate)
         l = jnp.minimum(speed_perturb_length(lengths, f, sample_rate), T)
         m = (jnp.arange(T)[None, :] < l[:, None]).astype(mask.dtype)
