@@ -31,6 +31,11 @@ def main():
                    help="full-fine-tune F1 for recovery-rate computation")
     p.add_argument("--snr_levels", type=float, nargs="*", default=None,
                    help="robustness SNR sweep (default 20 15 10 5 0 -5)")
+    p.add_argument("--zero_shot_langs", nargs="*", default=None,
+                   choices=["hi", "bn", "te"],
+                   help="zero-shot cross-lingual eval: render manifest "
+                        "texts into these native scripts (same audio), "
+                        "report per-language slices + transfer ratios")
     p.add_argument("--platform", default=None)
     args = p.parse_args()
 
@@ -60,7 +65,8 @@ def main():
         few_shot_shots=args.few_shot_shots,
         few_shot_epochs=args.few_shot_epochs,
         full_ft_f1=args.full_ft_f1,
-        robustness_snr_levels=args.snr_levels)
+        robustness_snr_levels=args.snr_levels,
+        zero_shot_languages=tuple(args.zero_shot_langs or ()))
 
 
 if __name__ == "__main__":

@@ -49,6 +49,7 @@ from . import openset as osr
 from . import robustness as rob
 from . import slicing
 from . import wer as wer_mod
+from . import zero_shot as zs
 
 EMOTIONS_6 = ["angry", "happy", "sad", "neutral", "disgust", "fear"]
 
@@ -80,6 +81,7 @@ def run_academic_evaluation(params, cfg: Config, manifest: str, *,
                             robustness_noise_types: tuple = ("gaussian",
                                                              "babble", "music"),
                             code_mix_languages: tuple = ("hi", "bn"),
+                            zero_shot_languages: tuple = (),
                             verbose: bool = True) -> Dict:
     tok = tokenizer or get_tokenizer(vocab_size=cfg.model.text.vocab_size)
     mesh = mesh or mesh_lib.make_mesh()
@@ -170,9 +172,21 @@ def run_academic_evaluation(params, cfg: Config, manifest: str, *,
     results["per_snr"] = {k: vars(v) for k, v in per_snr.items()}
 
     eval_step = None
-    if run_few_shot or run_robustness:
+    if run_few_shot or run_robustness or zero_shot_languages:
         from ..train import train_step as ts
         eval_step = ts.make_eval_step(cfg.model, use_openmax=True)
+
+    def _predict_with_texts(new_texts):
+        """Re-run the model over the same audio with substituted texts
+        (aligned with the collected `texts`/`idx` order)."""
+        by_idx = {int(i): t for i, t in zip(idx, new_texts)}
+        rebatched = []
+        for batch in loader.batches:
+            row_texts = [by_idx.get(int(i), "") for i in batch["indices"]]
+            ids, tmask = tok.encode_batch(row_texts, cfg.data.max_text_tokens)
+            rebatched.append({**batch, "text_ids": ids, "text_mask": tmask})
+        preds_m, probs_m, _ = _forward_batches(rebatched)
+        return {"preds": preds_m, "probs": probs_m}
 
     def _forward_batches(batches):
         """Plain eval forward over host batches -> (preds, probs, labels)."""
@@ -256,27 +270,21 @@ def run_academic_evaluation(params, cfg: Config, manifest: str, *,
             noise_types=tuple(robustness_noise_types),
             baseline_f1=baseline_f1)
 
-        mixed_by_idx = {}
-
-        def mix_predict(mixed_texts):
-            for i, t in zip(idx, mixed_texts):
-                mixed_by_idx[int(i)] = t
-            remixed = []
-            for batch in loader.batches:
-                row_texts = [mixed_by_idx.get(int(i), "")
-                             for i in batch["indices"]]
-                ids, tmask = tok.encode_batch(row_texts,
-                                              cfg.data.max_text_tokens)
-                remixed.append({**batch, "text_ids": ids, "text_mask": tmask})
-            preds_m, probs_m, _ = _forward_batches(remixed)
-            return {"preds": preds_m, "probs": probs_m}
-
         code_mix = {}
         for lang in code_mix_languages:
             code_mix[lang] = rob.evaluate_code_mixing(
-                mix_predict, texts, labels, target_language=lang,
+                _predict_with_texts, texts, labels, target_language=lang,
                 baseline_f1=baseline_f1)
         results["robustness"] = {"noise": noise_res, "code_mixing": code_mix}
+
+    # zero-shot cross-lingual: same audio, native-script hi/bn/te texts,
+    # per-language slices + transfer ratios vs the English baseline
+    # (BASELINE.md config matrix; the reference simulates translations at
+    # evaluate_academic_complete.py:185)
+    if zero_shot_languages:
+        results["zero_shot"] = zs.evaluate_zero_shot(
+            _predict_with_texts, texts, labels, conf, preds,
+            languages=tuple(zero_shot_languages))
 
     # 8. per-class + confusion
     names = EMOTIONS_6[:cfg.model.num_labels]
@@ -368,6 +376,20 @@ def generate_report(results: Dict, class_names) -> str:
             row = " ".join(f"{k.split('_')[1]}:{m['weighted_f1']:.3f}"
                            for k, m in per_ratio.items())
             lines.append(f"  {lang:>9}: {row}")
+    zsres = results.get("zero_shot")
+    if zsres:
+        lines.append("")
+        lines.append("Zero-shot cross-lingual (native-script texts, "
+                     "same audio):")
+        lines.append(f"  {'lang':>6} {'n':>6} {'wF1':>7} {'acc':>7} "
+                     f"{'UAR':>7} {'transfer':>9}")
+        tr = zsres["transfer"]["transfer_ratios"]
+        for lang, s in zsres["per_language"].items():
+            ratio = ("baseline" if lang == zsres["transfer"]["source_language"]
+                     else f"{tr[lang]:.3f}")
+            lines.append(f"  {lang:>6} {s['sample_count']:>6} "
+                         f"{s['weighted_f1']:7.3f} {s['accuracy']:7.3f} "
+                         f"{s['uar']:7.3f} {ratio:>9}")
     ib = results.get("inference_benchmark")
     if ib:
         best = ib["scaling"]

@@ -36,8 +36,9 @@ _STOPWORDS = {
 
 def _script_language(text: str) -> str | None:
     """Unicode-script shortcut for non-Latin languages
-    (cf. asr_integration.py:239-277 script-based detection)."""
-    counts = {'ru': 0, 'ja': 0, 'ko': 0, 'zh': 0}
+    (cf. asr_integration.py:239-277 script-based detection; Indic ranges
+    added for the zero-shot hi/bn/te evaluation path)."""
+    counts = {'ru': 0, 'ja': 0, 'ko': 0, 'zh': 0, 'hi': 0, 'bn': 0, 'te': 0}
     letters = 0
     for ch in text:
         o = ord(ch)
@@ -51,6 +52,12 @@ def _script_language(text: str) -> str | None:
             counts['ko'] += 1
         elif 0x4E00 <= o <= 0x9FFF:
             counts['zh'] += 1
+        elif 0x0900 <= o <= 0x097F:
+            counts['hi'] += 1   # Devanagari
+        elif 0x0980 <= o <= 0x09FF:
+            counts['bn'] += 1   # Bengali
+        elif 0x0C00 <= o <= 0x0C7F:
+            counts['te'] += 1   # Telugu
     if letters == 0:
         return None
     best = max(counts, key=counts.get)

@@ -55,6 +55,7 @@ def test_academic_battery(setup, tmp_path):
         full_ft_f1=0.9,
         run_robustness=True, robustness_snr_levels=[20.0, 0.0],
         robustness_noise_types=("gaussian", "babble"),
+        zero_shot_languages=("hi", "bn", "te"),
         verbose=False)
 
     b = res["baseline"]
@@ -106,6 +107,13 @@ def test_academic_battery(setup, tmp_path):
         assert set(per_ratio) == {"ratio_0", "ratio_0.25", "ratio_0.5",
                                   "ratio_0.75", "ratio_1"}
 
+    # zero-shot cross-lingual: non-English rows + transfer ratios
+    zsr = res["zero_shot"]
+    assert set(zsr["per_language"]) == {"en", "hi", "bn", "te"}
+    assert set(zsr["transfer"]["transfer_ratios"]) == {"hi", "bn", "te"}
+    for lang in ("hi", "bn", "te"):
+        assert zsr["per_language"][lang]["sample_count"] == 24
+
     # artifacts written
     out = tmp_path / "out"
     data = json.loads((out / "academic_evaluation.json").read_text())
@@ -116,3 +124,20 @@ def test_academic_battery(setup, tmp_path):
     assert "Few-shot adaptation" in report
     assert "Robustness (noise)" in report
     assert "Per-SNR-band performance" in report
+    assert "Zero-shot cross-lingual" in report
+
+
+def test_zero_shot_translation_and_lid():
+    """Native-script rendering is detected by the LID front-end — romanized
+    tables would all tag Latin/'en' and the per-language slices would be
+    empty (the point of eval/zero_shot.py's native tables)."""
+    from multilingual_multimodal_speech_emotion_recognition_tpu.eval import zero_shot as zs
+    from multilingual_multimodal_speech_emotion_recognition_tpu.frontend import lid
+
+    text = "the audio sample is good"
+    for lang in ("hi", "bn", "te"):
+        translated = zs.translate_text(text, lang)
+        assert translated != text
+        assert lid.detect_language(translated) == lang
+    # English stays English
+    assert lid.detect_language(text) == "en"
