@@ -44,6 +44,32 @@ def read_wav(path: str | Path) -> Tuple[np.ndarray, int]:
     return data.reshape(-1, n_channels).T, sr
 
 
+def read_audio(path: str | Path) -> Tuple[np.ndarray, int]:
+    """Decode any supported format to (float32 [channels, T], sample_rate).
+    WAV decodes via the stdlib; other containers (flac/ogg/mp3 — the
+    reference loads them through torchaudio, preprocess.py:14) fall back to
+    soundfile or torchaudio when those are importable, and raise otherwise
+    so the caller's zeros-on-error path fires instead of mis-decoding."""
+    try:
+        return read_wav(path)
+    except Exception:
+        pass
+    try:
+        import soundfile as sf
+        data, sr = sf.read(str(path), dtype="float32", always_2d=True)
+        return data.T, int(sr)
+    except ImportError:
+        pass
+    try:
+        import torchaudio
+        wav, sr = torchaudio.load(str(path))
+        return wav.numpy().astype(np.float32), int(sr)
+    except ImportError:
+        pass
+    raise ValueError(f"cannot decode {path}: not a readable WAV and no "
+                     "soundfile/torchaudio backend available")
+
+
 def resample_host(x: np.ndarray, orig_sr: int, new_sr: int) -> np.ndarray:
     if orig_sr == new_sr:
         return x
@@ -61,7 +87,7 @@ def load_audio(path: str | Path, *, sr: int = 16000, max_length: float = 30.0,
     if dataset_root and not str(p).startswith(dataset_root) and not p.is_absolute():
         p = Path(dataset_root) / p
     try:
-        data, orig_sr = read_wav(p)
+        data, orig_sr = read_audio(p)
         if data.shape[0] > 1:
             data = data.mean(axis=0, keepdims=True)
         data = resample_host(data, orig_sr, sr)

@@ -50,8 +50,11 @@ class SERDataset:
         return len(self.items)
 
     def audio_length(self, idx: int) -> int:
-        """Cheap duration probe from the WAV header; falls back to the
-        1 s zeros length for missing/corrupt files (preprocess.py:44-47)."""
+        """Duration probe for bucketing. Fast path: WAV header. Non-WAV or
+        unreadable files fall back to the actual decoded length via
+        load_audio — whose zeros-on-error fallback is exactly what load()
+        will later return — so the assigned bucket ALWAYS matches the data
+        and a clip can never be silently truncated by a mis-probed bucket."""
         import wave
         from pathlib import Path
         it = self.items[idx]
@@ -68,7 +71,8 @@ class SERDataset:
             n = max(n, int(self.cfg.sample_rate * self.cfg.min_audio_seconds))
             return n
         except Exception:
-            return self.cfg.sample_rate
+            wav, _, _ = self.load(idx)
+            return len(wav)
 
     def load(self, idx: int):
         it = self.items[idx]

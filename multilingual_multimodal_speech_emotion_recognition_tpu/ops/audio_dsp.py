@@ -127,25 +127,45 @@ def augment_batch(key: Array, wave: Array, mask: Array, *,
                   speed_factors: Sequence[float] = (0.9, 0.95, 1.0, 1.05, 1.1),
                   speed_prob: float = 0.5, noise_prob: float = 0.5,
                   snr_range: Tuple[float, float] = (10.0, 20.0),
-                  sample_rate: int = 16000) -> Tuple[Array, Array]:
+                  sample_rate: int = 16000,
+                  speed_per_batch: bool = False) -> Tuple[Array, Array]:
     """Train-time augmentation (train.py:130-143): 50% speed perturb with a
     factor from `speed_factors` (the reference draws U[0.9,1.1]; a static
     set keeps shapes compiled), 50% Gaussian noise at U[10,20] dB SNR.
-    Fully batched & jittable; returns (wave, mask)."""
+    Fully batched & jittable; returns (wave, mask).
+
+    speed_per_batch=True draws ONE factor per step (lax.switch runs a
+    single resample branch) instead of per sample (which must materialize
+    and select among all branches — per-sample lax.switch under vmap still
+    executes every branch). Measured on v5e at B=16, T=30 s: 24 ms
+    per-sample vs 8 ms per-batch. The per-sample 50% application gate is
+    unchanged; only the within-batch factor correlation differs — the
+    marginal factor distribution each sample sees across steps is
+    identical."""
     B, T = wave.shape
     k_sp, k_spf, k_np, k_snr, k_noise = jax.random.split(key, 5)
-
-    # speed perturbation: compute every static branch, select per sample
-    branches = [speed_perturb(wave, f, sample_rate) for f in speed_factors]
     lengths = jnp.sum(mask.astype(jnp.int32), axis=-1)
-    branch_lengths = [speed_perturb_length(lengths, f, sample_rate)
-                      for f in speed_factors]
-    stacked = jnp.stack(branches)                     # [F, B, T]
-    stacked_len = jnp.stack(branch_lengths)           # [F, B]
-    fidx = jax.random.randint(k_spf, (B,), 0, len(speed_factors))
+
+    if speed_per_batch:
+        fidx = jax.random.randint(k_spf, (), 0, len(speed_factors))
+        picked = jax.lax.switch(
+            fidx, [lambda w, f=f: speed_perturb(w, f, sample_rate)
+                   for f in speed_factors], wave)
+        picked_len = jax.lax.switch(
+            fidx, [lambda l, f=f: speed_perturb_length(l, f, sample_rate)
+                   for f in speed_factors], lengths)
+    else:
+        # compute every static branch, select per sample
+        branches = [speed_perturb(wave, f, sample_rate) for f in speed_factors]
+        branch_lengths = [speed_perturb_length(lengths, f, sample_rate)
+                          for f in speed_factors]
+        stacked = jnp.stack(branches)                     # [F, B, T]
+        stacked_len = jnp.stack(branch_lengths)           # [F, B]
+        fidx = jax.random.randint(k_spf, (B,), 0, len(speed_factors))
+        picked = jnp.take_along_axis(stacked, fidx[None, :, None], axis=0)[0]
+        picked_len = jnp.take_along_axis(stacked_len, fidx[None, :], axis=0)[0]
+
     do_speed = jax.random.bernoulli(k_sp, speed_prob, (B,))
-    picked = jnp.take_along_axis(stacked, fidx[None, :, None], axis=0)[0]
-    picked_len = jnp.take_along_axis(stacked_len, fidx[None, :], axis=0)[0]
     wave2 = jnp.where(do_speed[:, None], picked, wave)
     len2 = jnp.where(do_speed, jnp.minimum(picked_len, T), lengths)
     mask2 = (jnp.arange(T)[None, :] < len2[:, None]).astype(mask.dtype)

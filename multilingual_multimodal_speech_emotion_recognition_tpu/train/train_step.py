@@ -99,8 +99,9 @@ def make_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig, tx,
         if train_cfg.augment:
             from ..ops import audio_dsp
             rng, k_aug = jax.random.split(rng)
-            wave, mask = audio_dsp.augment_batch(k_aug, batch["audio"],
-                                                 batch["audio_mask"])
+            wave, mask = audio_dsp.augment_batch(
+                k_aug, batch["audio"], batch["audio_mask"],
+                speed_per_batch=train_cfg.augment_speed_per_batch)
             batch = {**batch, "audio": wave, "audio_mask": mask}
 
         def loss_fn(p, key):
@@ -113,7 +114,8 @@ def make_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig, tx,
                 from ..ops import audio_dsp, losses as loss_ops
                 k_gate, k_aug2, k_drop = jax.random.split(key, 3)
                 wave2, mask2 = audio_dsp.augment_batch(
-                    k_aug2, batch["audio"], batch["audio_mask"])
+                    k_aug2, batch["audio"], batch["audio_mask"],
+                    speed_per_batch=train_cfg.augment_speed_per_batch)
                 aug_batch = {**batch, "audio": wave2, "audio_mask": mask2}
                 out2 = mdl.model_forward(p, model_cfg, aug_batch,
                                          deterministic=False,

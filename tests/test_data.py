@@ -167,6 +167,25 @@ def test_augment_batch_shapes_and_determinism():
     assert not np.allclose(np.asarray(w1), np.asarray(wave))
 
 
+def test_augment_batch_per_batch_speed():
+    """speed_per_batch=True (single lax.switch branch, 3x cheaper at the
+    30 s bucket) keeps shapes/masks valid and still perturbs."""
+    import jax
+    import jax.numpy as jnp
+    from multilingual_multimodal_speech_emotion_recognition_tpu.ops import audio_dsp
+
+    rng = np.random.default_rng(0)
+    wave = jnp.asarray(rng.standard_normal((4, 8000)).astype(np.float32) * 0.1)
+    mask = jnp.ones((4, 8000), jnp.float32)
+    w2, m2 = jax.jit(lambda k, w, m: audio_dsp.augment_batch(
+        k, w, m, speed_per_batch=True, speed_prob=1.0, noise_prob=0.0))(
+        jax.random.key(3), wave, mask)
+    assert w2.shape == wave.shape and m2.shape == mask.shape
+    assert not np.allclose(np.asarray(w2), np.asarray(wave))
+    # masked-out tail stays zero
+    assert float(np.abs(np.asarray(w2) * (1 - np.asarray(m2))).sum()) == 0.0
+
+
 def test_tta_expand_views():
     B, T = 2, 8000
     wave = jnp.asarray(RNG.standard_normal((B, T)).astype(np.float32) * 0.1)
@@ -175,6 +194,28 @@ def test_tta_expand_views():
     assert w.shape == (5 * B, T) and m.shape == (5 * B, T)
     np.testing.assert_array_equal(np.asarray(w[:B]), np.asarray(wave))  # view 0 = orig
     assert not np.allclose(np.asarray(w[B:2 * B]), np.asarray(wave))    # speed 0.95
+
+
+def test_duration_probe_matches_load_for_unprobeable_files(tmp_path):
+    """A file the WAV-header probe can't read must be bucketed by its
+    actual decoded length (== what load() returns), never by a guessed
+    constant — a mis-probed bucket would silently truncate the clip."""
+    from multilingual_multimodal_speech_emotion_recognition_tpu.config import DataConfig
+    from multilingual_multimodal_speech_emotion_recognition_tpu.data import manifest as man
+    from multilingual_multimodal_speech_emotion_recognition_tpu.data.pipeline import SERDataset
+
+    ds_root = tmp_path / "ds"
+    ds_root.mkdir()
+    # not a RIFF container: both the header probe and the decoder fail,
+    # so load() returns the 1 s zeros fallback
+    (ds_root / "junk.flac").write_bytes(b"\x00\x01" * 4000)
+    man.write_manifest(tmp_path / "m.jsonl",
+                       [{"audio": "junk.flac", "text": "x", "label": 0,
+                         "dataset": "d"}])
+    ds = SERDataset(str(tmp_path / "m.jsonl"),
+                    DataConfig(dataset_root=str(ds_root)))
+    wav, _, _ = ds.load(0)
+    assert ds.audio_length(0) == len(wav)
 
 
 def test_loader_emits_asr_feats(tmp_path):
