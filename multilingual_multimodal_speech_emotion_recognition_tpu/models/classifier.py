@@ -205,3 +205,71 @@ def classifier_forward(params: dict, x: Array, *, use_openmax: bool = False,
     return ClassifierOutput(logits=logits, features=feats,
                             anchor_similarities=sims, anchor_loss=anchor_loss,
                             uncertainty=u)
+
+
+# ---------------------------------------------------------------------------
+# Legacy heads (reference classifier.py:309-436) — the smaller MLP classifiers
+# kept by the reference "for backward compatibility". Not on any runtime path
+# of the reference's own scripts, provided for API completeness.
+# ---------------------------------------------------------------------------
+
+def init_legacy_mlp(key: Array, input_dim: int, num_labels: int,
+                    hidden: int = 128, dtype=jnp.float32) -> dict:
+    """Linear(in,256)->ReLU->Drop->Linear(256,hidden)->ReLU->Drop->
+    Linear(hidden,C) + Weibull buffers (OpenMaxClassifier.__init__,
+    classifier.py:309-333; plain Classifier shares the net, :422-436)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "lin1": layers.init_linear(k1, input_dim, 256, dtype=dtype),
+        "lin2": layers.init_linear(k2, 256, hidden, dtype=dtype),
+        "lin3": layers.init_linear(k3, hidden, num_labels, dtype=dtype),
+        "weibull": openmax_ops.init_weibull(num_labels, hidden,
+                                            dtype=jnp.float32),
+    }
+
+
+def legacy_mlp_forward(params: dict, x: Array, *, dropout_rate: float = 0.1,
+                       dropout_key: Optional[Array] = None,
+                       deterministic: bool = True):
+    """Returns (penultimate activations [B, hidden], logits [B, C]) —
+    the traversal of OpenMaxClassifier.forward (classifier.py:334-346)."""
+    if dropout_key is not None:
+        k1, k2 = jax.random.split(dropout_key)
+    else:
+        k1 = k2 = None
+    h = jax.nn.relu(layers.linear(params["lin1"], x))
+    h = layers.dropout(k1, h, dropout_rate, deterministic)
+    h = jax.nn.relu(layers.linear(params["lin2"], h))
+    h = layers.dropout(k2, h, dropout_rate, deterministic)
+    return h, layers.linear(params["lin3"], h)
+
+
+def legacy_classifier_forward(params: dict, x: Array, **kw) -> Array:
+    """Plain legacy Classifier (classifier.py:422-436): logits only."""
+    return legacy_mlp_forward(params, x, **kw)[1]
+
+
+def legacy_openmax_forward(params: dict, x: Array, *,
+                           use_openmax: bool = True,
+                           dropout_rate: float = 0.1,
+                           dropout_key: Optional[Array] = None,
+                           deterministic: bool = True) -> Array:
+    """Legacy OpenMaxClassifier (classifier.py:334-384): at inference,
+    scale logits by (1 - unknown_prob) where unknown_prob > 0.5 — note the
+    different threshold/scale from the advanced head's 0.3/0.8. The
+    reference's per-batch Python loop is a single vectorized where."""
+    acts, logits = legacy_mlp_forward(params, x, dropout_rate=dropout_rate,
+                                      dropout_key=dropout_key,
+                                      deterministic=deterministic)
+    if use_openmax and deterministic:
+        logits = openmax_ops.openmax_adjust(
+            params["weibull"], acts.astype(jnp.float32), logits,
+            threshold=0.5, reduction_scale=1.0)
+    return logits
+
+
+def legacy_fit_weibull(features: Array, labels: Array, num_classes: int) -> dict:
+    """Legacy parameterization (classifier.py:388-418): alpha=2.0 fixed,
+    beta = std(distances), tau = min(distances) — no 1.5x/0.8x scaling."""
+    return openmax_ops.fit_weibull(features, labels, num_classes,
+                                   alpha=2.0, beta_scale=1.0, tau_scale=1.0)

@@ -209,6 +209,45 @@ def test_few_shot_adaptation_learns():
 
 # --------------------------------------------------------------- benchmark
 
+def test_enhanced_pipeline_orchestrates_all_stages(tmp_path):
+    """EnhancedEvaluationPipeline parity (enhanced_evaluation.py:490-685):
+    every stage runs when its inputs are present, results persist to
+    evaluation_results.json + a text report."""
+    from multilingual_multimodal_speech_emotion_recognition_tpu.eval import (
+        enhanced_pipeline as ep)
+    N = 120
+    y_true = RNG.integers(0, 4, N)
+    y_pred = np.where(RNG.random(N) < 0.7, y_true, RNG.integers(0, 4, N))
+    conf = np.clip(0.5 + 0.4 * (y_true == y_pred) + 0.1 * RNG.random(N), 0, 1)
+    unknown = RNG.random(N) < 0.2
+    langs = np.where(RNG.random(N) < 0.5, "en", "es").tolist()
+    snr = RNG.uniform(0, 30, N)
+
+    res = ep.run_enhanced_evaluation(
+        y_true=y_true, y_pred=y_pred, confidence_scores=conf,
+        unknown_mask=unknown, languages=langs, snr_values=snr,
+        raw_audio_metrics={"wer": 0.30, "uar": 0.55},
+        processed_audio_metrics={"wer": 0.22, "uar": 0.62},
+        output_dir=str(tmp_path / "enh"))
+
+    assert "wer_uar_analysis" in res
+    assert 0.0 <= res["open_set_metrics"]["auroc"] <= 1.0
+    assert "oscr_score" in res["open_set_metrics"]
+    assert "risk_coverage_auc" in res["risk_coverage_analysis"]
+    sl = res["performance_slices"]
+    assert "en" in sl and "es" in sl          # language slices
+    assert any("dB" in k for k in sl)         # SNR band slices
+    assert (tmp_path / "enh" / "evaluation_results.json").exists()
+    report = (tmp_path / "enh" / "evaluation_report.txt").read_text()
+    assert "ENHANCED EVALUATION REPORT" in report
+    assert "Risk-coverage" in report
+
+    # stages are conditional on their inputs, like the reference
+    res2 = ep.run_enhanced_evaluation(y_true=y_true, y_pred=y_pred)
+    assert "open_set_metrics" not in res2
+    assert "wer_uar_analysis" not in res2
+
+
 def test_benchmark_fn_shape():
     calls = []
 

@@ -159,6 +159,57 @@ def test_fit_weibull_matches_oracle():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_legacy_openmax_classifier_semantics():
+    """Legacy OpenMaxClassifier (reference classifier.py:309-418): smaller
+    MLP head, threshold 0.5, full (1-unknown) scaling, alpha=2.0 /
+    beta=std / tau=min fit — numpy re-derivation as the oracle."""
+    import multilingual_multimodal_speech_emotion_recognition_tpu.models.classifier as clf
+    B, IN, H, C = 7, 24, 16, 4
+    params = clf.init_legacy_mlp(jax.random.key(3), IN, C, hidden=H)
+    x = RNG.standard_normal((B, IN)).astype(np.float32)
+
+    acts, logits = clf.legacy_mlp_forward(params, jnp.asarray(x))
+    npp = jax.tree.map(np.asarray, params)
+    h = np.maximum(x @ npp["lin1"]["kernel"] + npp["lin1"]["bias"], 0)
+    h = np.maximum(h @ npp["lin2"]["kernel"] + npp["lin2"]["bias"], 0)
+    want_logits = h @ npp["lin3"]["kernel"] + npp["lin3"]["bias"]
+    np.testing.assert_allclose(np.asarray(acts), h, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(logits), want_logits,
+                               rtol=2e-5, atol=2e-5)
+
+    # plain Classifier = same net, logits only
+    np.testing.assert_allclose(
+        np.asarray(clf.legacy_classifier_forward(params, jnp.asarray(x))),
+        want_logits, rtol=2e-5, atol=2e-5)
+
+    # fit: alpha=2.0, beta=std, tau=min (no 1.5x/0.8x)
+    labels = RNG.integers(0, C, 64)
+    feats = RNG.standard_normal((64, H)).astype(np.float32)
+    w = clf.legacy_fit_weibull(jnp.asarray(feats), jnp.asarray(labels), C)
+    for c in range(C):
+        m = labels == c
+        mean = feats[m].mean(0)
+        d = np.linalg.norm(feats[m] - mean, axis=1)
+        np.testing.assert_allclose(np.asarray(w["alpha"][c]), 2.0)
+        np.testing.assert_allclose(np.asarray(w["beta"][c]), d.std(),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(w["tau"][c]), d.min(),
+                                   rtol=1e-4, atol=1e-5)
+
+    # openmax: unknown = max_c WeibullCDF; scale by (1-unknown) iff > 0.5
+    params = {**params, "weibull": w}
+    adj = clf.legacy_openmax_forward(params, jnp.asarray(x))
+    dist = np.linalg.norm(h[:, None, :] - np.asarray(w["activation_vectors"])[None],
+                          axis=-1)
+    sx = np.maximum(dist - np.asarray(w["tau"])[None], 0)
+    cdf = 1 - np.exp(-np.power(sx / np.maximum(np.asarray(w["beta"])[None], 1e-6),
+                               np.asarray(w["alpha"])[None]))
+    unk = cdf.max(1)
+    want = np.where(unk[:, None] > 0.5, want_logits * (1 - unk[:, None]),
+                    want_logits)
+    np.testing.assert_allclose(np.asarray(adj), want, rtol=2e-5, atol=2e-5)
+
+
 def test_energy_score():
     logits = RNG.standard_normal((5, 4)).astype(np.float32)
     got = om.energy_score(jnp.asarray(logits))
