@@ -48,10 +48,12 @@ def main():
                         "emit them from the data pipeline "
                         "(train_crema.py:122, text_encoder.py:39-48)")
     p.add_argument("--audio_backbone",
-                   choices=["wav2vec2-base", "wav2vec2-large", "hubert-large"],
+                   choices=["wav2vec2-base", "wav2vec2-large", "hubert-large",
+                            "wavlm-large"],
                    default="wav2vec2-base",
                    help="audio backbone architecture preset (large presets "
-                        "use the stable-LN / layer-norm-conv variant)")
+                        "use the stable-LN / layer-norm-conv variant; "
+                        "wavlm-large adds gated relative position bias)")
     p.add_argument("--wav2vec2_checkpoint", type=str, default=None,
                    help="path or HF name for pretrained audio backbone")
     p.add_argument("--xlmr_checkpoint", type=str, default=None)

@@ -63,10 +63,22 @@ def hubert_large_audio_config() -> Wav2Vec2Config:
     return wav2vec2_large_audio_config()
 
 
+def wavlm_large_audio_config() -> Wav2Vec2Config:
+    """microsoft/wavlm-large: wav2vec2-large skeleton (layer-norm conv
+    stack, stable pre-LN encoder, no conv bias) + gated bucketed relative
+    position bias (HF WavLMAttention, num_buckets=320, max distance 800)."""
+    return Wav2Vec2Config(
+        hidden_size=1024, num_hidden_layers=24, num_attention_heads=16,
+        intermediate_size=4096, conv_bias=False,
+        do_stable_layer_norm=True, feat_extract_norm="layer",
+        gated_relpos_bias=True, num_buckets=320, max_bucket_distance=800)
+
+
 AUDIO_BACKBONE_PRESETS = {
     "wav2vec2-base": Wav2Vec2Config,
     "wav2vec2-large": wav2vec2_large_audio_config,
     "hubert-large": hubert_large_audio_config,
+    "wavlm-large": wavlm_large_audio_config,
 }
 
 

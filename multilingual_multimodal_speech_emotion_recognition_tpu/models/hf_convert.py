@@ -10,9 +10,11 @@ module's state_dict or a dict of numpy arrays.
 Backbone swaps: wav2vec2-large and HuBERT-Large (identical key layout:
 feat_extract_norm="layer" per-conv LayerNorms + conv bias +
 do_stable_layer_norm pre-LN encoder) convert directly through
-`wav2vec2_from_hf`; set the matching flags on Wav2Vec2Config. WavLM is NOT
-covered by this mapping — its attention carries gated relative position
-bias tensors (rel_attn_embed / gru_rel_pos) with no equivalent here.
+`wav2vec2_from_hf`; set the matching flags on Wav2Vec2Config. WavLM
+(rel_attn_embed on layer 0 + per-layer gru_rel_pos gate tensors) is
+auto-detected from the state-dict keys and converts through the same
+function; set gated_relpos_bias=True on Wav2Vec2Config
+(config.wavlm_large_audio_config).
 """
 
 from __future__ import annotations
@@ -101,9 +103,13 @@ def wav2vec2_from_hf(state_dict: Mapping, num_layers: int | None = None,
     pos_conv = {"kernel": jnp.asarray(pos_w.transpose(2, 1, 0)),
                 "bias": jnp.asarray(_np(sd["encoder.pos_conv_embed.conv.bias"]))}
 
+    # WavLM: layer 0 owns the relative-position-bias embedding; every layer
+    # carries the GRU-style gate (modeling_wavlm.WavLMAttention)
+    wavlm = "encoder.layers.0.attention.rel_attn_embed.weight" in sd
+
     def layer(i):
         pre = f"encoder.layers.{i}"
-        return {
+        p = {
             "q": _lin(sd, f"{pre}.attention.q_proj"),
             "k": _lin(sd, f"{pre}.attention.k_proj"),
             "v": _lin(sd, f"{pre}.attention.v_proj"),
@@ -113,6 +119,12 @@ def wav2vec2_from_hf(state_dict: Mapping, num_layers: int | None = None,
             "ffn_out": _lin(sd, f"{pre}.feed_forward.output_dense"),
             "final_ln": _ln(sd, f"{pre}.final_layer_norm"),
         }
+        if wavlm:
+            p["gru_lin"] = _lin(sd, f"{pre}.attention.gru_rel_pos_linear")
+            # torch shape (1, H, 1, 1) -> [H]
+            p["gru_const"] = jnp.asarray(
+                _np(sd[f"{pre}.attention.gru_rel_pos_const"]).reshape(-1))
+        return p
 
     import jax
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
@@ -130,6 +142,9 @@ def wav2vec2_from_hf(state_dict: Mapping, num_layers: int | None = None,
     }
     if not layer_feat_norm:
         params["group_norm"] = _ln(sd, "feature_extractor.conv_layers.0.layer_norm")
+    if wavlm:
+        params["rel_attn_embed"] = jnp.asarray(
+            _np(sd["encoder.layers.0.attention.rel_attn_embed.weight"]))
     if "masked_spec_embed" in sd:
         params["masked_spec_embed"] = jnp.asarray(_np(sd["masked_spec_embed"]))
     else:

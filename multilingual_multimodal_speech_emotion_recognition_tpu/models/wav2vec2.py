@@ -20,6 +20,12 @@ Key TPU-first differences from the reference's per-clip Python loop
   * bf16-friendly: all normalization statistics accumulate in f32.
 
 The HF checkpoint converts weight-for-weight via hf_convert.py.
+
+Backbone family covered by this one module (BASELINE.md config matrix):
+wav2vec2-base (group-norm conv, post-LN), wav2vec2-large / HuBERT-Large
+(layer-norm conv + conv bias, stable pre-LN), and WavLM-Large
+(stable pre-LN + gated bucketed relative position bias,
+cfg.gated_relpos_bias — HF WavLMAttention).
 """
 
 from __future__ import annotations
@@ -56,6 +62,12 @@ class Wav2Vec2Config:
     # those checkpoints also carry conv biases).
     do_stable_layer_norm: bool = False
     feat_extract_norm: str = "group"  # "group" | "layer"
+    # WavLM variant (HF WavLMAttention): T5-style bucketed relative position
+    # bias owned by layer 0 and shared down the stack, gated per layer/head/
+    # query by a sigmoid GRU-style gate computed from the attention input.
+    gated_relpos_bias: bool = False
+    num_buckets: int = 320
+    max_bucket_distance: int = 800
     hidden_dropout: float = 0.1
     attention_dropout: float = 0.1
     activation_dropout: float = 0.1
@@ -127,7 +139,7 @@ def init_wav2vec2(key: Array, cfg: Wav2Vec2Config, dtype=jnp.float32) -> dict:
             return {"kernel": jax.random.normal(kk2, (i, o), dtype) * std,
                     "bias": jnp.zeros((o,), dtype)}
 
-        return {
+        p = {
             "q": lin(ks[0], h, h), "k": lin(ks[1], h, h),
             "v": lin(ks[2], h, h), "out": lin(ks[3], h, h),
             "attn_ln": layers.init_layer_norm(h, dtype=dtype),
@@ -135,6 +147,11 @@ def init_wav2vec2(key: Array, cfg: Wav2Vec2Config, dtype=jnp.float32) -> dict:
             "ffn_out": lin(ks[5], ffn, h),
             "final_ln": layers.init_layer_norm(h, dtype=dtype),
         }
+        if cfg.gated_relpos_bias:
+            head_dim = h // cfg.num_attention_heads
+            p["gru_lin"] = lin(jax.random.fold_in(k, 101), head_dim, 8)
+            p["gru_const"] = jnp.ones((cfg.num_attention_heads,), dtype)
+        return p
 
     layer_keys = jax.random.split(kenc, cfg.num_hidden_layers)
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
@@ -150,6 +167,11 @@ def init_wav2vec2(key: Array, cfg: Wav2Vec2Config, dtype=jnp.float32) -> dict:
     }
     if cfg.feat_extract_norm == "group":
         params["group_norm"] = gn
+    if cfg.gated_relpos_bias:
+        params["rel_attn_embed"] = (
+            jax.random.normal(jax.random.fold_in(kmask, 7),
+                              (cfg.num_buckets, cfg.num_attention_heads),
+                              dtype) * 0.02)
     return params
 
 
@@ -237,9 +259,36 @@ def _spec_augment(key: Array, cfg: Wav2Vec2Config, hidden: Array,
                      masked_embed.astype(hidden.dtype), hidden)
 
 
+def _relative_positions_bucket(rel: Array, num_buckets: int,
+                               max_distance: int) -> Array:
+    """HF WavLMAttention._relative_positions_bucket (T5-style, bidirectional):
+    half the buckets for sign, half of those exact, the rest log-spaced."""
+    nb = num_buckets // 2
+    out = (rel > 0).astype(jnp.int32) * nb
+    rel = jnp.abs(rel)
+    max_exact = nb // 2
+    is_small = rel < max_exact
+    large = max_exact + (
+        jnp.log(jnp.maximum(rel, 1).astype(jnp.float32) / max_exact)
+        / math.log(max_distance / max_exact) * (nb - max_exact)
+    ).astype(jnp.int32)
+    large = jnp.minimum(large, nb - 1)
+    return out + jnp.where(is_small, rel, large)
+
+
+def relative_position_bias(params: dict, cfg: Wav2Vec2Config, T: int) -> Array:
+    """Ungated bias [H, T, T] (f32) — HF WavLMAttention.compute_bias, computed
+    once (layer 0 owns rel_attn_embed) and shared down the stack."""
+    rel = jnp.arange(T)[None, :] - jnp.arange(T)[:, None]  # memory - context
+    bucket = _relative_positions_bucket(rel, cfg.num_buckets,
+                                        cfg.max_bucket_distance)
+    values = params["rel_attn_embed"].astype(jnp.float32)[bucket]  # [T, T, H]
+    return jnp.transpose(values, (2, 0, 1))
+
+
 def _encoder_stack(stacked: dict, cfg: Wav2Vec2Config, h: Array,
                    attn_bias: Optional[Array], *, dropout_key, deterministic,
-                   remat: bool) -> Array:
+                   remat: bool, pos_bias: Optional[Array] = None) -> Array:
     H = cfg.num_attention_heads
     D = cfg.hidden_size // H
     scale = D ** -0.5
@@ -259,6 +308,19 @@ def _encoder_stack(stacked: dict, cfg: Wav2Vec2Config, h: Array,
             logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
             if attn_bias is not None:
                 logits = logits + attn_bias
+            if pos_bias is not None:
+                # gated relative position bias (HF WavLMAttention.forward):
+                # gate computed from the attention *input* (post-LN input in
+                # the stable-LN variant), per (batch, head, query)
+                g = xin.reshape(B, S, H, D)
+                proj = layers.linear(layer["gru_lin"], g)          # [B,S,H,8]
+                proj = proj.reshape(B, S, H, 2, 4).sum(-1)         # [B,S,H,2]
+                ga, gb = jnp.split(
+                    jax.nn.sigmoid(proj.astype(jnp.float32)), 2, axis=-1)
+                const = layer["gru_const"].astype(jnp.float32)
+                gate = ga * (gb * const[None, None, :, None] - 1.0) + 2.0
+                gate = jnp.transpose(gate, (0, 2, 1, 3))           # [B,H,S,1]
+                logits = logits + gate * pos_bias[None]
             attn = jax.nn.softmax(logits, axis=-1).astype(xin.dtype)
             attn = layers.dropout(k1, attn, cfg.attention_dropout, deterministic)
             ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, S, E)
@@ -332,9 +394,11 @@ def wav2vec2_encode(params: dict, cfg: Wav2Vec2Config, wave: Array,
     h = layers.dropout(k_drop, h, cfg.hidden_dropout, deterministic)
 
     attn_bias = jnp.where(frame_mask[:, None, None, :] == 0, -jnp.inf, 0.0)
+    pos_bias = (relative_position_bias(params, cfg, h.shape[1])
+                if cfg.gated_relpos_bias else None)
     h = _encoder_stack(params["layers"], cfg, h, attn_bias,
                        dropout_key=k_enc, deterministic=deterministic,
-                       remat=remat)
+                       remat=remat, pos_bias=pos_bias)
     if cfg.do_stable_layer_norm:
         # stable-LN encoder normalizes after the stack
         # (HF Wav2Vec2EncoderStableLayerNorm.forward)

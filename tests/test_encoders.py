@@ -184,6 +184,79 @@ def test_hubert_converts_and_matches_hf():
                                rtol=5e-4, atol=5e-5)
 
 
+@pytest.mark.parametrize("stable_ln", [False, True])
+def test_wavlm_converts_and_matches_hf(stable_ln):
+    """WavLM (BASELINE.md backbone matrix): gated bucketed relative position
+    bias (HF WavLMAttention, modeling_wavlm.py:108-251) on top of the
+    wav2vec2 skeleton. Covers both encoder norm variants — the gate input is
+    the raw block input post-LN in the stable variant, raw otherwise."""
+    import torch
+    from transformers import WavLMConfig, WavLMModel
+    torch.manual_seed(13 + stable_ln)
+    hcfg = WavLMConfig(
+        hidden_size=32, num_hidden_layers=3, num_attention_heads=4,
+        intermediate_size=64, conv_dim=(16, 16, 16), conv_stride=(5, 2, 2),
+        conv_kernel=(10, 3, 3), num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4,
+        do_stable_layer_norm=stable_ln,
+        feat_extract_norm="layer" if stable_ln else "group",
+        conv_bias=False, num_buckets=16, max_bucket_distance=40,
+        apply_spec_augment=False, layerdrop=0.0)
+    m = WavLMModel(hcfg).eval()
+    cfg = w2v.Wav2Vec2Config(
+        conv_dim=(16, 16, 16), conv_stride=(5, 2, 2), conv_kernel=(10, 3, 3),
+        conv_bias=False, hidden_size=32, num_hidden_layers=3,
+        num_attention_heads=4, intermediate_size=64,
+        num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+        do_stable_layer_norm=stable_ln,
+        feat_extract_norm="layer" if stable_ln else "group",
+        gated_relpos_bias=True, num_buckets=16, max_bucket_distance=40,
+        apply_spec_augment=False)
+    params = conv.wav2vec2_from_hf(m.state_dict())
+    assert "rel_attn_embed" in params
+    assert params["layers"]["gru_const"].shape == (3, 4)
+
+    lengths = [400, 333, 260]
+    T = max(lengths)
+    wave = np.zeros((3, T), np.float32)
+    mask = np.zeros((3, T), np.float32)
+    raw = []
+    for i, L in enumerate(lengths):
+        x = RNG.standard_normal(L).astype(np.float32)
+        raw.append(x)
+        xn = (x - x.mean()) / np.sqrt(x.var() + 1e-7)
+        wave[i, :L] = xn
+        mask[i, :L] = 1
+
+    got, frame_mask = w2v.wav2vec2_encode(params, cfg, jnp.asarray(wave),
+                                          jnp.asarray(mask), normalize=False)
+    got = np.asarray(got)
+    fm = np.asarray(frame_mask)
+    for i, x in enumerate(raw):
+        xn = (x - x.mean()) / np.sqrt(x.var() + 1e-7)
+        with torch.no_grad():
+            want = m(torch.from_numpy(xn[None])).last_hidden_state[0].numpy()
+        n_valid = int(fm[i].sum())
+        assert n_valid == want.shape[0]
+        np.testing.assert_allclose(got[i, :n_valid], want, rtol=5e-4, atol=5e-5)
+
+
+def test_wavlm_relative_position_bucket_matches_hf():
+    """The bucketization itself against HF's torch implementation across the
+    full bucket range (small, exact, log-spaced, clamped)."""
+    import torch
+    from transformers.models.wavlm.modeling_wavlm import WavLMAttention
+    attn = WavLMAttention(embed_dim=8, num_heads=2, num_buckets=32,
+                          max_distance=128, has_relative_position_bias=True)
+    rel = np.arange(-300, 301)
+    want = attn._relative_positions_bucket(torch.from_numpy(rel)).numpy()
+    cfg = w2v.Wav2Vec2Config(gated_relpos_bias=True, num_buckets=32,
+                             max_bucket_distance=128)
+    got = np.asarray(w2v._relative_positions_bucket(
+        jnp.asarray(rel), cfg.num_buckets, cfg.max_bucket_distance))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_wav2vec2_masked_normalize_matches_hf_fe(hf_w2v2):
     # our normalize=True path equals HF's zero_mean_unit_var_norm per sample
     L, T = 300, 400
