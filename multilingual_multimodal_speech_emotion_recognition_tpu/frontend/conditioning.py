@@ -7,6 +7,12 @@ the chain is one batched jittable function. IIR zero-phase filters
 the exact steady-state response of forward-backward IIR filtering, batched
 and XLA-fusable (SURVEY.md §7 "hard parts" #4).
 
+The heavy stages (notch/HPF fft round trips, spectral-gate denoise,
+dereverb Welch pass) are lax.cond-gated on batch-level predicates — the
+batched analogue of the reference's per-clip `if` branches: when no
+utterance triggers a stage it costs nothing; when any does, it is computed
+for the batch and selected per sample (value-identical either way).
+
 Parity map (reference file:line):
   hum detect (Welch peak > mean + 2σ) + notch Q=30  audio_conditioning.py:66-94
   HPF decision (low-freq ratio > 20%) + cutoff       audio_conditioning.py:105-146
@@ -104,14 +110,24 @@ def detect_hum(wave: Array, mask: Array, *, sample_rate: int):
 
 
 def hum_notch(wave: Array, mask: Array, *, sample_rate: int):
-    """Notch out detected hum lines. Returns (filtered, any_filtered [B])."""
+    """Notch out detected hum lines. Returns (filtered, any_filtered [B]).
+
+    TPU shape: the per-frequency sequential filtering composes in the rfft
+    domain (|H50|²·|H60|², conditionally per sample), so the whole stage is
+    ONE fft round trip — and the round trip itself is lax.cond-gated on any
+    hum being detected at all, the batched analogue of the reference's
+    per-clip `if hum_detected` branch (audio_conditioning.py:503-516)."""
     flags = detect_hum(wave, mask, sample_rate=sample_rate)     # [B, H]
     T = wave.shape[-1]
-    out = wave
-    for i, f0 in enumerate(HUM_FREQS):
-        resp = jnp.asarray(_notch_mag_sq(T, sample_rate, f0, NOTCH_Q))
-        filtered = _zero_phase_apply(out, resp)
-        out = jnp.where(flags[:, i][:, None], filtered, out)
+
+    def apply(w):
+        resp = jnp.ones((w.shape[0], T // 2 + 1), jnp.float32)
+        for i, f0 in enumerate(HUM_FREQS):
+            r = jnp.asarray(_notch_mag_sq(T, sample_rate, f0, NOTCH_Q))
+            resp = resp * jnp.where(flags[:, i][:, None], r[None, :], 1.0)
+        return _zero_phase_apply(w, resp)
+
+    out = jax.lax.cond(flags.any(), apply, lambda w: w, wave)
     return out * mask, flags.any(axis=-1)
 
 
@@ -132,9 +148,12 @@ def hpf_decision(wave: Array, mask: Array, *, sample_rate: int):
 
 def apply_hpf(wave: Array, mask: Array, should: Array, cutoff: Array,
               *, sample_rate: int) -> Array:
-    resp = _butter_hp_mag_sq(wave.shape[-1], sample_rate, cutoff)
-    filtered = _zero_phase_apply(wave, resp) * mask
-    return jnp.where(should[:, None], filtered, wave)
+    def apply(w):
+        resp = _butter_hp_mag_sq(w.shape[-1], sample_rate, cutoff)
+        filtered = _zero_phase_apply(w, resp) * mask
+        return jnp.where(should[:, None], filtered, w)
+    # fft round trip only when some utterance needs the HPF
+    return jax.lax.cond(should.any(), apply, lambda w: w, wave)
 
 
 def estimate_snr_energy(wave: Array, mask: Array) -> Array:
@@ -179,16 +198,29 @@ def spectral_gate_denoise(wave: Array, mask: Array, *, n_fft: int = 1024,
         in_axes=-1, out_axes=-1))(gain)
 
     recon_frames = jnp.fft.irfft(spec * gain, n=n_fft, axis=-1) * win
-    # overlap-add
+    # overlap-add without scatter: hop divides n_fft, so frames split into
+    # n_fft//hop interleaved groups whose members tile contiguously —
+    # each group adds via one reshape + dynamic_update_slice (a TPU scatter
+    # with duplicate indices serializes; this is ~2x faster at this shape)
     F = recon_frames.shape[1]
+    B = wave.shape[0]
     out_len = w.shape[-1]
-    idx = (np.arange(F)[:, None] * hop + np.arange(n_fft)[None, :]).reshape(-1)
-    flat = recon_frames.reshape(recon_frames.shape[0], -1)
-    out = jnp.zeros((wave.shape[0], out_len), wave.dtype)
-    out = out.at[:, idx].add(flat)
-    wsum = jnp.zeros((out_len,), wave.dtype).at[idx].add(
-        jnp.tile(win ** 2, (F,)))
-    out = out / jnp.maximum(wsum, 1e-8)[None, :]
+    r = n_fft // hop
+    out = jnp.zeros((B, out_len + n_fft), wave.dtype)
+    for j in range(r):
+        grp = recon_frames[:, j::r]                  # [B, Fj, n_fft], abutting
+        span = grp.shape[1] * n_fft
+        start = j * hop
+        acc = jax.lax.dynamic_slice(out, (0, start), (B, span))
+        out = jax.lax.dynamic_update_slice(
+            out, acc + grp.reshape(B, span), (0, start))
+    # window-square normalizer is shape-static: precompute at trace time
+    wsum = np.zeros((out_len + n_fft,), np.float32)
+    win2 = np.asarray(sp.hann_window(n_fft)) ** 2
+    np.add.at(wsum, (np.arange(F)[:, None] * hop
+                     + np.arange(n_fft)[None, :]).reshape(-1),
+              np.tile(win2, (F,)))
+    out = out / jnp.asarray(np.maximum(wsum, 1e-8))[None, :]
     return out[:, pad:pad + T] * mask
 
 
@@ -219,13 +251,18 @@ def dereverb(wave: Array, mask: Array, t60: Array, *,
     """Mean-gain spectral-subtraction dereverb when T60 > 0.5 s
     (audio_conditioning.py:304-330: the reference scales the whole clip by
     the mean of the per-bin gain)."""
-    _, psd = sp.welch_psd(wave, mask, sample_rate=sample_rate, nperseg=1024)
-    reverb_est = psd.mean(axis=-1, keepdims=True) * 0.1
-    psd_clean = jnp.maximum(psd - reverb_est, psd * 0.1)
-    gain = jnp.clip(jnp.sqrt(psd_clean / (psd + 1e-10)), 0.1, 1.0)
-    mean_gain = gain.mean(axis=-1)                                # [B]
     apply = t60 > T60_THRESHOLD
-    out = jnp.where(apply[:, None], wave * mean_gain[:, None], wave)
+
+    def do(w):
+        _, psd = sp.welch_psd(w, mask, sample_rate=sample_rate, nperseg=1024)
+        reverb_est = psd.mean(axis=-1, keepdims=True) * 0.1
+        psd_clean = jnp.maximum(psd - reverb_est, psd * 0.1)
+        gain = jnp.clip(jnp.sqrt(psd_clean / (psd + 1e-10)), 0.1, 1.0)
+        mean_gain = gain.mean(axis=-1)                            # [B]
+        return jnp.where(apply[:, None], w * mean_gain[:, None], w)
+
+    # Welch pass only when some utterance is actually reverberant
+    out = jax.lax.cond(apply.any(), do, lambda w: w, wave)
     orig_e = sp.masked_mean(wave ** 2, mask)
     new_e = sp.masked_mean(out ** 2, mask)
     gain_db = jnp.where(apply & (new_e > 0),
@@ -287,8 +324,15 @@ def condition_audio(wave: Array, mask: Array, *,
 
     snr_before = estimate_snr_energy(x, mask)
     need_denoise = snr_before < SNR_DENOISE_THRESHOLD
-    denoised = spectral_gate_denoise(x, mask)
-    x = jnp.where(need_denoise[:, None], denoised, x)
+    # the denoiser (framed fft round trip + overlap-add) is the most
+    # expensive stage of the chain; skip it entirely when no utterance in
+    # the batch is below the SNR threshold — the batched analogue of the
+    # reference's per-clip `if snr < 15` (audio_conditioning.py:225-233)
+    x = jax.lax.cond(
+        need_denoise.any(),
+        lambda xx: jnp.where(need_denoise[:, None],
+                             spectral_gate_denoise(xx, mask), xx),
+        lambda xx: xx, x)
     orig_e = sp.masked_mean(wave ** 2, mask)
     new_e = sp.masked_mean(x ** 2, mask)
     denoise_gain = jnp.where(

@@ -114,14 +114,19 @@ def clipping_percent(wave: Array, mask: Array) -> Array:
 
 
 def spectral_naturalness(wave: Array, mask: Array, *,
-                         sample_rate: int = 16000) -> Array:
+                         sample_rate: int = 16000,
+                         descriptors=None) -> Array:
     """Centroid/rolloff/bandwidth heuristic score (quality_gates.py:230-246).
 
     Note the reference compares mean rolloff (in Hz) against 0.85 — the
     rolloff term is ~0 for any real signal; replicated as-is.
+    `descriptors` lets the orchestrator share one STFT pass with
+    content_type (same wave, same framing).
     """
-    centroid, rolloff, bandwidth = sp.spectral_descriptors(
-        wave, mask, sample_rate=sample_rate)
+    if descriptors is None:
+        descriptors = sp.spectral_descriptors(wave, mask,
+                                              sample_rate=sample_rate)
+    centroid, rolloff, bandwidth = descriptors
     centroid_score = 1.0 - jnp.clip(jnp.abs(centroid - 2000.0) / 2000.0, 0, 1)
     rolloff_score = 1.0 - jnp.clip(jnp.abs(rolloff - 0.85) / 0.15, 0, 1)
     bandwidth_score = 1.0 - jnp.clip(jnp.abs(bandwidth - 1000.0) / 1000.0, 0, 1)
@@ -129,11 +134,14 @@ def spectral_naturalness(wave: Array, mask: Array, *,
 
 
 def content_type(wave: Array, mask: Array, *,
-                 sample_rate: int = 16000) -> tuple[Array, Array]:
+                 sample_rate: int = 16000,
+                 descriptors=None) -> tuple[Array, Array]:
     """(music_prob, laughter_prob) rule-based (quality_gates.py:307-344):
     music = mean_centroid/4000, laughter = var(rms)/0.1, both clipped."""
-    centroid, _, _ = sp.spectral_descriptors(wave, mask,
-                                             sample_rate=sample_rate)
+    if descriptors is None:
+        descriptors = sp.spectral_descriptors(wave, mask,
+                                              sample_rate=sample_rate)
+    centroid = descriptors[0]
     music = jnp.clip(centroid / 4000.0, 0.0, 1.0)
     energy = sp.rms_frames(wave, frame_length=2048, hop=512)
     fmask = sp.center_frame_mask(mask, 512, energy.shape[-1])
@@ -181,8 +189,12 @@ def quality_gates(wave: Array, mask: Array, *, lid_entropy: Array,
     speech_prob = energy_vad(wave, mask, sample_rate=sample_rate)
     snr_db = estimate_snr(wave, mask)
     clip_pct = clipping_percent(wave, mask)
-    naturalness = spectral_naturalness(wave, mask, sample_rate=sample_rate)
-    music, laughter = content_type(wave, mask, sample_rate=sample_rate)
+    # one STFT/descriptor pass shared by naturalness and content type
+    desc = sp.spectral_descriptors(wave, mask, sample_rate=sample_rate)
+    naturalness = spectral_naturalness(wave, mask, sample_rate=sample_rate,
+                                       descriptors=desc)
+    music, laughter = content_type(wave, mask, sample_rate=sample_rate,
+                                   descriptors=desc)
 
     decision = abstain_decision(snr_db, clip_pct, speech_prob, lid_entropy,
                                 music)

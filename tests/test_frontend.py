@@ -285,3 +285,65 @@ def test_frontend_process_end_to_end():
     assert np.isfinite(np.asarray(cf)).all()
     # padded region stays zero
     assert float(jnp.abs(out * (1 - mask)).max()) == 0.0
+
+
+def test_conditioning_gated_branches_fire_and_match_direct():
+    """The lax.cond batch-gated stages (hum notch, HPF, denoise, dereverb)
+    must produce values identical to running the stage functions directly
+    when their predicates fire. Build a batch where every branch triggers:
+    hum (strong 50 Hz line), HPF need (heavy low-frequency energy), denoise
+    (low SNR), plus a clean row to exercise the per-sample select."""
+    T = SR
+    t = np.arange(T) / SR
+    rng = np.random.default_rng(42)
+    dirty = (0.5 * np.sin(2 * np.pi * 50 * t)        # hum line
+             + 0.6 * np.sin(2 * np.pi * 120 * t)     # low-freq energy that
+             + 0.05 * np.sin(2 * np.pi * 300 * t)    # survives the notch
+             # little noise: steady tones give a high energy floor, so the
+             # energy/10th-pct SNR estimate lands < 15 dB -> denoise fires
+             + 0.02 * rng.standard_normal(T)).astype(np.float32)
+    clean = speech_like(T, seed=3)
+    wave, mask = padded_batch([dirty, clean], T_pad=T)
+
+    out, st = cond.condition_audio(wave, mask, sample_rate=SR)
+    # the dirty row must actually take the heavy branches
+    assert bool(st.hum_filtered[0])
+    assert bool(st.hpf_applied[0])
+    assert bool(st.denoise_applied[0])
+
+    # replicate the chain with the stage functions called directly (their
+    # own lax.cond gates reduce to the same branch since predicates fire)
+    x, hum = cond.hum_notch(wave, mask, sample_rate=SR)
+    should, cutoff = cond.hpf_decision(x, mask, sample_rate=SR)
+    x = cond.apply_hpf(x, mask, should, cutoff, sample_rate=SR)
+    snr_b = cond.estimate_snr_energy(x, mask)
+    need = snr_b < cond.SNR_DENOISE_THRESHOLD
+    den = cond.spectral_gate_denoise(x, mask)
+    x = jnp.where(need[:, None], den, x)
+    t60 = cond.estimate_t60(x, mask, sample_rate=SR)
+    x, _ = cond.dereverb(x, mask, t60, sample_rate=SR)
+    x, *_ = cond.normalize_loudness(x, mask)
+    x = x * mask
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_hum_notch_composes_both_frequencies_in_one_pass():
+    """Both 50 and 60 Hz lines detected on one utterance: the single-fft
+    composed response must equal sequential per-frequency filtering."""
+    T = SR
+    t = np.arange(T) / SR
+    x = (0.5 * np.sin(2 * np.pi * 50 * t) + 0.5 * np.sin(2 * np.pi * 60 * t)
+         + 0.02 * RNG.standard_normal(T)).astype(np.float32)
+    wave, mask = padded_batch([x], T_pad=T)
+    flags = cond.detect_hum(wave, mask, sample_rate=SR)
+    assert bool(flags[0, 0]) and bool(flags[0, 1])
+
+    got, _ = cond.hum_notch(wave, mask, sample_rate=SR)
+    want = wave
+    for i, f0 in enumerate(cond.HUM_FREQS):
+        resp = jnp.asarray(cond._notch_mag_sq(T, SR, f0, cond.NOTCH_Q))
+        filt = cond._zero_phase_apply(want, resp)
+        want = jnp.where(flags[:, i][:, None], filt, want)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want * mask),
+                               rtol=1e-4, atol=1e-6)
