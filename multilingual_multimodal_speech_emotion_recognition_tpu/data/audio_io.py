@@ -79,13 +79,34 @@ def resample_host(x: np.ndarray, orig_sr: int, new_sr: int) -> np.ndarray:
     return resample_poly(x, new_sr // g, orig_sr // g, axis=-1).astype(np.float32)
 
 
-def load_audio(path: str | Path, *, sr: int = 16000, max_length: float = 30.0,
-               min_length: float = 0.5, dataset_root: str = "datasets") -> np.ndarray:
-    """Load one clip as float32 [T] following the reference's semantics,
-    including the zeros-on-error fallback (preprocess.py:44-47)."""
+def resolve_path(path: str | Path, dataset_root: str = "datasets") -> Path:
+    """The reference's `datasets/` path-prefix rule (preprocess.py:8-12)."""
     p = Path(path)
     if dataset_root and not str(p).startswith(dataset_root) and not p.is_absolute():
         p = Path(dataset_root) / p
+    return p
+
+
+def load_audio(path: str | Path, *, sr: int = 16000, max_length: float = 30.0,
+               min_length: float = 0.5, dataset_root: str = "datasets") -> np.ndarray:
+    """Load one clip as float32 [T] following the reference's semantics,
+    including the zeros-on-error fallback (preprocess.py:44-47).
+
+    Fast path: the native C++ decoder (native/wav_decoder.cc) handles
+    target-rate WAV files end to end (decode, downmix, trim, pad); anything
+    it can't (other containers, resampling, corrupt files) falls through to
+    the Python/scipy path below with identical semantics."""
+    p = resolve_path(path, dataset_root)
+    from . import native
+    if native.available():
+        wav, st = native.decode_wav(
+            p, target_sr=sr, max_samples=int(sr * max_length),
+            min_samples=int(sr * min_length))
+        if st == native.OK:
+            return wav
+        if st == native.OPEN_FAILED and not p.exists():
+            print(f"Error loading {p}: file not found")
+            return np.zeros(sr, dtype=np.float32)
     try:
         data, orig_sr = read_audio(p)
         if data.shape[0] > 1:

@@ -57,11 +57,18 @@ class SERDataset:
         and a clip can never be silently truncated by a mis-probed bucket."""
         import wave
         from pathlib import Path
+        from . import native
         it = self.items[idx]
         p = Path(it["audio"])
         if self.cfg.dataset_root and not p.is_absolute() \
                 and not str(p).startswith(self.cfg.dataset_root):
             p = Path(self.cfg.dataset_root) / p
+        info = native.wav_info(p) if native.available() else None
+        if info is not None:
+            n, sr = info
+            n = int(n * self.cfg.sample_rate / sr)
+            n = min(n, int(self.cfg.sample_rate * self.cfg.max_audio_seconds))
+            return max(n, int(self.cfg.sample_rate * self.cfg.min_audio_seconds))
         try:
             with wave.open(str(p), "rb") as w:
                 n = w.getnframes()
@@ -142,23 +149,63 @@ class BucketedLoader:
             rng = np.random.default_rng(self.seed * 7919 + epoch_idx)
             rng.shuffle(batch_plans)
 
+        from . import native
+        use_native = native.available()
+
         with cf.ThreadPoolExecutor(self.num_workers) as pool:
             # two-deep pipelining: next batch's decodes run while the
-            # current batch is being consumed on device
+            # current batch is being consumed on device. With the native
+            # decoder the whole batch is one C call (its own thread fan-out,
+            # no GIL between files); otherwise one Python decode per file.
             def submit(plan):
                 bi, idxs = plan
-                return bi, [pool.submit(self.ds.load, i) for i in idxs]
+                if use_native:
+                    return [pool.submit(self._load_rows_native, bi, idxs)]
+                return [pool.submit(self.ds.load, i) for i in idxs]
+
+            def collect(futs):
+                if use_native:
+                    return futs[0].result()
+                return [f.result() for f in futs]
 
             pending = None
             for plan in batch_plans:
-                nxt = (plan[0], plan[1], submit(plan)[1])
+                nxt = (plan[0], plan[1], submit(plan))
                 if pending is not None:
                     bi, idxs, futs = pending
-                    yield self._assemble(bi, [f.result() for f in futs], idxs)
+                    yield self._assemble(bi, collect(futs), idxs)
                 pending = nxt
             if pending is not None:
                 bi, idxs, futs = pending
-                yield self._assemble(bi, [f.result() for f in futs], idxs)
+                yield self._assemble(bi, collect(futs), idxs)
+
+    def _load_rows_native(self, bucket_idx: int, idxs: List[int]) -> list:
+        """Decode a whole batch with one native call; rows the C decoder
+        can't handle (non-WAV container, resample needed, corrupt file)
+        fall back per-row to the Python loader with identical semantics."""
+        from . import audio_io, native
+        cfg = self.ds.cfg
+        T = self.bucket_samples[bucket_idx]
+        sr = cfg.sample_rate
+        paths = [audio_io.resolve_path(self.ds.items[i]["audio"],
+                                       cfg.dataset_root) for i in idxs]
+        audio = np.zeros((len(idxs), T), np.float32)
+        lens, sts = native.decode_batch(
+            [str(p) for p in paths], audio, target_sr=sr,
+            min_samples=int(sr * cfg.min_audio_seconds),
+            n_threads=self.num_workers)
+        out = []
+        for r, i in enumerate(idxs):
+            it = self.ds.items[i]
+            if sts[r] == native.OK:
+                wav = audio[r, : int(lens[r])]
+            elif sts[r] == native.OPEN_FAILED and not paths[r].exists():
+                print(f"Error loading {paths[r]}: file not found")
+                wav = np.zeros(sr, np.float32)  # preprocess.py:44-47
+            else:
+                wav, _, _ = self.ds.load(i)
+            out.append((wav, it.get("text", ""), int(it["label"])))
+        return out
 
     def _assemble(self, bucket_idx: int, loaded: list,
                   idxs: Optional[List[int]] = None) -> dict:
