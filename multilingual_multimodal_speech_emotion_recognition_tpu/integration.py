@@ -153,6 +153,124 @@ class DataFlowPipeline:
                                             segment_seconds=segment_seconds)]
 
 
+class StreamingRecognizer:
+    """Real-time chunked recognition with temporal smoothing.
+
+    TPU-native streaming surface over the temporal module
+    (research/temporal.py): audio arrives in arbitrary-size chunks; every
+    full `segment_seconds` window runs ONE jitted fused forward (fixed
+    segment shape — one compile for the whole stream) producing the
+    classifier's 256-d penultimate features, then the jitted temporal step
+    (buffer push → positional encoding → causal TCN over the 3-segment
+    window → confidence smoothing → speaker-change detection) carries
+    `TemporalBufferState` across segments. This realizes the reference's
+    stateful segment pipeline — TemporalModelingModule + deque buffer
+    (temporal_modeling.py:365-615) driven per-segment by
+    data_flow_architecture.py:222-437 stage 10 — as an explicit functional
+    carry instead of module state.
+
+    `temporal_params` defaults to a fresh init (the reference never trains
+    its temporal module in a default path either; train_two_phase is where
+    both would learn it). `push_audio` returns one result dict per
+    completed segment; `flush` drains the tail (zero-padded, masked).
+    """
+
+    def __init__(self, params, cfg: Config, *,
+                 temporal_params: Optional[dict] = None,
+                 segment_seconds: float = 4.0, sr: int = 16000,
+                 tokenizer: Optional[Tokenizer] = None, seed: int = 0):
+        from .research import temporal as tm
+        self.params = params
+        self.cfg = cfg
+        self.sr = sr
+        self.segment_len = int(segment_seconds * sr)
+        self.tokenizer = tokenizer or get_tokenizer(
+            vocab_size=cfg.model.text.vocab_size)
+        feature_dim = cfg.model.classifier_base_dim // 2
+        self.temporal_params = temporal_params or tm.init_temporal_module(
+            jax.random.key(seed), feature_dim=feature_dim,
+            num_emotions=cfg.model.num_labels)
+        self._tm = tm
+        model_cfg = cfg.model
+
+        @jax.jit
+        def fwd(params, batch):
+            out = mdl.model_forward(params, model_cfg, batch,
+                                    deterministic=True, use_openmax=True)
+            probs = jax.nn.softmax(out.logits.astype(jnp.float32), axis=-1)
+            return (out.logits, out.uncertainty,
+                    out.features.astype(jnp.float32),
+                    probs.max(axis=-1, keepdims=True))
+
+        self._fwd = fwd
+        self._step = jax.jit(lambda p, s, f, c: tm.temporal_step(p, s, f, c))
+        self.reset()
+
+    def reset(self) -> None:
+        self.state = self._tm.init_buffer(
+            1, self.cfg.model.classifier_base_dim // 2)
+        self._pending = np.zeros(0, np.float32)
+        self.segment_index = 0
+
+    def push_audio(self, samples: np.ndarray, text: str = "") -> List[Dict]:
+        """Feed a chunk of any length; returns results for every segment
+        completed by it (possibly empty — state accumulates)."""
+        self._pending = np.concatenate(
+            [self._pending, np.asarray(samples, np.float32).reshape(-1)])
+        out = []
+        while len(self._pending) >= self.segment_len:
+            seg, self._pending = (self._pending[: self.segment_len],
+                                  self._pending[self.segment_len:])
+            out.append(self._process(seg, self.segment_len, text))
+        return out
+
+    def flush(self, text: str = "") -> Optional[Dict]:
+        """Process the residual tail (< one segment), zero-padded + masked."""
+        n = len(self._pending)
+        if n == 0:
+            return None
+        seg = np.zeros(self.segment_len, np.float32)
+        seg[:n] = self._pending
+        self._pending = np.zeros(0, np.float32)
+        return self._process(seg, n, text)
+
+    def _process(self, seg: np.ndarray, valid: int, text: str) -> Dict:
+        ent, lang, conf = lid_mod.identify_language(text)
+        ids, tmask = self.tokenizer.encode_batch(
+            [text], self.cfg.data.max_text_tokens)
+        mask = np.zeros_like(seg)
+        mask[: max(valid, 1)] = 1.0
+        batch = {
+            "audio": jnp.asarray(seg)[None],
+            "audio_mask": jnp.asarray(mask)[None],
+            "text_ids": jnp.asarray(ids),
+            "text_mask": jnp.asarray(tmask),
+            "lid_entropy": jnp.asarray([ent], jnp.float32),
+            "lid_conf": jnp.asarray([conf], jnp.float32),
+        }
+        logits, uncertainty, feats, seg_conf = self._fwd(self.params, batch)
+        self.state, smoothed, final_conf, info = self._step(
+            self.temporal_params, self.state, feats, seg_conf)
+        smoothed = np.asarray(smoothed, np.float64)
+        e = np.exp(smoothed - smoothed.max(axis=1, keepdims=True))
+        probs = e / e.sum(axis=1, keepdims=True)
+        result = {
+            "segment_index": self.segment_index,
+            "raw_logits": np.asarray(logits)[0],
+            "smoothed_logits": smoothed[0],
+            "probabilities": probs[0],
+            "prediction": int(smoothed[0].argmax()),
+            "confidence": float(np.asarray(final_conf)[0, 0]),
+            "uncertainty": float(np.asarray(uncertainty)[0, 0]),
+            "speaker_changed": bool(np.asarray(info["speaker_changed"])[0]),
+            "speaker_similarity": float(
+                np.asarray(info["speaker_similarity"])[0]),
+            "language": lang,
+        }
+        self.segment_index += 1
+        return result
+
+
 def verify_integration(params, cfg: Config) -> Dict[str, bool]:
     """Component-presence verification against the REAL parameter tree and
     API (unlike the reference's hasattr probes of nonexistent attrs,

@@ -50,6 +50,44 @@ def test_pipeline_process_segment():
     assert len(outs) >= 5
 
 
+def test_streaming_recognizer():
+    cfg = Config(model=tiny_config(),
+                 data=DataConfig(max_text_tokens=12),
+                 train=TrainConfig())
+    params = mdl.init_model(jax.random.key(0), cfg.model)
+    tok = tok_lib.HashTokenizer(vocab_size=100)
+    rec = integ.StreamingRecognizer(params, cfg, tokenizer=tok,
+                                    segment_seconds=1.0)
+    t = np.arange(SR) / SR
+    tone = (0.3 * np.sin(2 * np.pi * 300 * t)).astype(np.float32)
+
+    # arbitrary chunk sizes: 0.4 s chunks complete a segment every ~3 pushes
+    results = []
+    for s in range(8):
+        results += rec.push_audio(tone[: int(0.4 * SR)], text="hello there")
+    assert len(results) == 3          # 3.2 s pushed -> 3 full 1 s segments
+    tail = rec.flush(text="hello there")
+    assert tail is not None and tail["segment_index"] == 3
+
+    for r in results + [tail]:
+        assert r["probabilities"].shape == (4,)
+        np.testing.assert_allclose(r["probabilities"].sum(), 1.0, atol=1e-6)
+        assert 0.0 <= r["confidence"] <= 1.0
+        assert np.isfinite(r["smoothed_logits"]).all()
+    # first segment can never flag a speaker change (no history)
+    assert results[0]["speaker_changed"] is False
+    assert [r["segment_index"] for r in results] == [0, 1, 2]
+
+    # identical consecutive segments: projected cosine similarity ~1
+    assert results[2]["speaker_similarity"] > 0.9
+
+    # temporal smoothing engages once history exists: segments 1+ blend
+    # current with buffered logits unless confidence > 0.9
+    rec.reset()
+    assert rec.segment_index == 0 and len(rec.push_audio(tone[:100])) == 0
+    assert rec.flush() is not None and rec.flush() is None
+
+
 def test_verify_integration():
     cfg = Config(model=tiny_config())
     params = mdl.init_model(jax.random.key(0), cfg.model)
