@@ -28,10 +28,13 @@ def _tiny_cfg(stable_ln=False, layers=3):
         apply_spec_augment=False)
 
 
-def _dense(stacked, cfg, h, frame_mask):
+def _dense(stacked, cfg, h, frame_mask, params=None):
     bias = jnp.where(frame_mask[:, None, None, :] == 0, -jnp.inf, 0.0)
+    pos_bias = (w2v.relative_position_bias(params, cfg, h.shape[1])
+                if cfg.gated_relpos_bias else None)
     return w2v._encoder_stack(stacked, cfg, h, bias, dropout_key=None,
-                              deterministic=True, remat=False)
+                              deterministic=True, remat=False,
+                              pos_bias=pos_bias)
 
 
 @pytest.mark.parametrize("stable_ln", [False, True])
@@ -73,12 +76,39 @@ def test_ring_stack_seq_only_mesh():
                                rtol=2e-4, atol=2e-5)
 
 
-def test_ring_stack_rejects_wavlm():
-    cfg = _tiny_cfg()
-    cfg = w2v.Wav2Vec2Config(**{**cfg.__dict__, "gated_relpos_bias": True})
+@pytest.mark.parametrize("S", [32, 27])
+def test_ring_stack_wavlm_gated_relpos(S):
+    """WavLM variant: the per-ring-step bias blocks must reassemble the
+    dense gated relative-position bias exactly (incl. internal padding)."""
+    base = _tiny_cfg(stable_ln=True)
+    cfg = w2v.Wav2Vec2Config(**{
+        **base.__dict__, "gated_relpos_bias": True,
+        "num_buckets": 16, "max_bucket_distance": 20})
     params = w2v.init_wav2vec2(jax.random.key(2), cfg)
-    mesh = mesh_lib.make_mesh(data=2, model=4)
-    h = jnp.zeros((2, 16, cfg.hidden_size))
+    # random (not zero-init) bias table so the test actually discriminates
+    rel = jax.random.normal(jax.random.key(3),
+                            params["rel_attn_embed"].shape) * 0.1
+    params["rel_attn_embed"] = rel
+
+    B = 3
+    h = jnp.asarray(RNG.standard_normal((B, S, cfg.hidden_size))
+                    .astype(np.float32))
+    lengths = [S, S - 5, 4]
+    frame_mask = jnp.asarray(
+        (np.arange(S)[None, :] < np.asarray(lengths)[:, None])
+        .astype(np.float32))
+
+    mesh = mesh_lib.make_mesh(data=1, model=8)
+    got = encoder_stack_sequence_parallel(
+        params["layers"], cfg, h, frame_mask, mesh,
+        rel_attn_embed=params["rel_attn_embed"], batch_axis=None)
+    want = _dense(params["layers"], cfg, h, frame_mask, params)
+
+    valid = np.asarray(frame_mask).astype(bool)
+    np.testing.assert_allclose(np.asarray(got)[valid], np.asarray(want)[valid],
+                               rtol=2e-4, atol=2e-5)
+
+    # the argument contract is still enforced both ways
     with pytest.raises(AssertionError):
         encoder_stack_sequence_parallel(params["layers"], cfg, h,
-                                        jnp.ones((2, 16)), mesh)
+                                        frame_mask, mesh)
