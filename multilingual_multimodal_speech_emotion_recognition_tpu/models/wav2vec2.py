@@ -369,7 +369,11 @@ def wav2vec2_encode(params: dict, cfg: Wav2Vec2Config, wave: Array,
         k_spec = k_drop = k_enc = None
 
     if normalize:
-        wave = normalize_waveform(wave, sample_mask)
+        # stats in f32, output back in the compute dtype: in bf16 mode the
+        # conv extractor is HBM/VPU-bound (CLAUDE.md perf notes), and f32
+        # activations would double its traffic (the reference's --use_amp
+        # autocasts its conv path to half precision the same way)
+        wave = normalize_waveform(wave, sample_mask).astype(wave.dtype)
     feats, frame_mask = feature_encoder(params, cfg, wave, sample_mask)
 
     h = layers.layer_norm(params["feat_proj"]["ln"], feats, eps=cfg.layer_norm_eps)
