@@ -43,10 +43,16 @@ class EmotionRecognitionInterface:
 
     def __init__(self, checkpoint_path: str, *,
                  config: Optional[Config] = None,
-                 tokenizer: Optional[Tokenizer] = None):
+                 tokenizer: Optional[Tokenizer] = None,
+                 quantize_int8: bool = False):
         cfg_json = ckpt_lib.load_config_json(checkpoint_path)
         self.cfg = config or (from_json(cfg_json) if cfg_json else Config())
         self.params, _, self.meta = ckpt_lib.restore_checkpoint(checkpoint_path)
+        if quantize_int8:
+            # int8 serving: frozen-backbone matmuls quantized post-training
+            # (ops/quant.py); heads/OpenMax numerics stay float
+            from .ops import quant
+            self.params = quant.quantize_backbones(self.params)
         self.tokenizer = tokenizer or get_tokenizer(
             vocab_size=self.cfg.model.text.vocab_size)
         n = self.cfg.model.num_labels
@@ -277,12 +283,15 @@ def main(argv=None):
                    help="path to save the analysis figure")
     p.add_argument("--export", default=None, help="path to save JSON results")
     p.add_argument("--platform", default=None)
+    p.add_argument("--int8", action="store_true",
+                   help="int8-quantize the frozen backbones for serving")
     args = p.parse_args(argv)
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
-    iface = EmotionRecognitionInterface(args.checkpoint)
+    iface = EmotionRecognitionInterface(args.checkpoint,
+                                        quantize_int8=args.int8)
     results = iface.predict_emotion(args.audio, args.text,
                                     use_tta=args.use_tta,
                                     num_tta=args.num_tta)

@@ -72,6 +72,9 @@ def init_linear(key: Array, in_dim: int, out_dim: int, *, use_bias: bool = True,
 
 
 def linear(params: dict, x: Array) -> Array:
+    if "kernel_q" in params:  # int8-quantized serving slot (ops/quant.py)
+        from ..ops import quant
+        return quant.linear_int8(params, x)
     y = jnp.einsum("...i,io->...o", x, params["kernel"])
     if "bias" in params:
         y = y + params["bias"]

@@ -103,9 +103,16 @@ def _feature_fuse(p: dict, seq: Array, feats: Array, *, dropout_rate: float,
 
 
 def cast_floating(tree, dtype):
-    return jax.tree.map(
-        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
-        tree)
+    """Cast float leaves to the compute dtype. Int8 kernels pass through
+    (integer), and their dequantization scales (`w_scale`, ops/quant.py)
+    stay f32 — rounding them to bf16 would waste quantization accuracy."""
+    def cast(path, x):
+        if not jnp.issubdtype(x.dtype, jnp.floating):
+            return x
+        if path and getattr(path[-1], "key", None) == "w_scale":
+            return x
+        return x.astype(dtype)
+    return jax.tree_util.tree_map_with_path(cast, tree)
 
 
 def encode_audio(params: dict, cfg: ModelConfig, wave: Array, wave_mask: Array,

@@ -1,0 +1,70 @@
+"""Int8 post-training quantization (ops/quant.py) correctness."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from multilingual_multimodal_speech_emotion_recognition_tpu.models import (
+    layers, model as mdl)
+from multilingual_multimodal_speech_emotion_recognition_tpu.ops import quant
+
+from test_model import tiny_config
+
+RNG = np.random.default_rng(5)
+
+
+def test_linear_int8_close_to_float():
+    p = layers.init_linear(jax.random.key(0), 256, 512)
+    x = jnp.asarray(RNG.standard_normal((4, 10, 256)).astype(np.float32))
+    want = np.asarray(layers.linear(p, x))
+    got = np.asarray(layers.linear(quant.quantize_linear(p), x))
+    # symmetric 8-bit: a few percent normalized RMS error on gaussian data
+    nrmse = np.sqrt(((got - want) ** 2).mean()) / want.std()
+    assert nrmse < 0.03, nrmse
+    assert layers.linear(quant.quantize_linear(p), x).dtype == x.dtype
+
+
+def test_quantize_stacked_kernels():
+    L, I, O = 3, 64, 96
+    w = RNG.standard_normal((L, I, O)).astype(np.float32)
+    qp = quant.quantize_linear({"kernel": jnp.asarray(w)})
+    assert qp["kernel_q"].shape == (L, I, O) and qp["kernel_q"].dtype == jnp.int8
+    assert qp["w_scale"].shape == (L, O)
+    # per-layer slice behaves like a regular quantized linear
+    x = jnp.asarray(RNG.standard_normal((2, I)).astype(np.float32))
+    sl = {"kernel_q": qp["kernel_q"][1], "w_scale": qp["w_scale"][1]}
+    want = np.asarray(x @ w[1])
+    got = np.asarray(layers.linear(sl, x))
+    nrmse = np.sqrt(((got - want) ** 2).mean()) / want.std()
+    assert nrmse < 0.03, nrmse
+
+
+def test_model_forward_quantized_backbones():
+    cfg = tiny_config()
+    params = mdl.init_model(jax.random.key(0), cfg)
+    qparams = quant.quantize_backbones(params, min_size=16)
+
+    # only backbone encoder layers are touched; heads bit-identical slots
+    assert "kernel_q" in qparams["audio_backbone"]["layers"]["q"]
+    assert "kernel_q" in qparams["text_backbone"]["layers"]["q"]
+    assert "kernel" in qparams["classifier"]["input_proj"]
+
+    B, T, S = 2, 3200, 8
+    rng = np.random.default_rng(0)
+    batch = {
+        "audio": jnp.asarray(rng.standard_normal((B, T)).astype(np.float32) * 0.1),
+        "audio_mask": jnp.ones((B, T), jnp.float32),
+        "text_ids": jnp.asarray(rng.integers(2, cfg.text.vocab_size, (B, S))
+                                .astype(np.int32)),
+        "text_mask": jnp.ones((B, S), jnp.float32),
+        "quality_feats": jnp.zeros((B, 8), jnp.float32),
+        "cond_feats": jnp.zeros((B, 12), jnp.float32),
+    }
+    ref = mdl.model_forward(params, cfg, batch, deterministic=True)
+    got = mdl.model_forward(qparams, cfg, batch, deterministic=True)
+    ref_l = np.asarray(ref.logits, np.float64)
+    got_l = np.asarray(got.logits, np.float64)
+    assert np.isfinite(got_l).all()
+    # quantization noise must not swamp the logit scale
+    denom = np.abs(ref_l).mean() + 1e-6
+    assert np.abs(got_l - ref_l).mean() / denom < 0.25, (got_l, ref_l)
