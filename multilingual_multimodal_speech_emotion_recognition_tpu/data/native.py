@@ -105,7 +105,7 @@ def decode_wav(path: str | Path, *, target_sr: int, max_samples: int,
     lib = _load()
     if lib is None:
         return None, -1
-    out = np.empty(max_samples, np.float32)
+    out = np.empty(max(max_samples, min_samples), np.float32)
     n = ctypes.c_int64(0)
     st = lib.ser_decode_wav(
         str(path).encode(), target_sr,
@@ -113,7 +113,12 @@ def decode_wav(path: str | Path, *, target_sr: int, max_samples: int,
         max_samples, min_samples, ctypes.byref(n))
     if st != OK:
         return None, int(st)
-    return out[: int(n.value)].copy(), OK
+    wav = out[: int(n.value)].copy()
+    if len(wav) < min_samples:
+        # trim-then-pad ordering (preprocess.py:29-39): the min-length pad
+        # applies AFTER the max-length trim, so it can exceed max_samples
+        wav = np.pad(wav, (0, min_samples - len(wav)))
+    return wav, OK
 
 
 def decode_batch(paths: Sequence[str], out: np.ndarray, *, target_sr: int,

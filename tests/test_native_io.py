@@ -91,6 +91,18 @@ def test_trim_and_pad(tmp_path):
     assert len(got) == sr // 2 and np.all(got[100:] == 0)
 
 
+def test_min_pad_exceeds_max_trim(tmp_path):
+    """Trim-then-pad ordering: min_length pad applies after max_length trim
+    (preprocess.py:29-39), so min > max yields min-length output."""
+    sr = 16000
+    p = tmp_path / "x.wav"
+    _write(p, RNG.standard_normal(sr).astype(np.float32) * 0.2, sr)
+    got = audio_io.load_audio(p, dataset_root="", max_length=0.25)
+    want = _python_load(p, dataset_root="", max_length=0.25)
+    np.testing.assert_array_equal(got, want)
+    assert len(got) == sr // 2 and np.all(got[sr // 4:] == 0)
+
+
 def test_missing_file_zeros(tmp_path, capsys):
     got = audio_io.load_audio(tmp_path / "nope.wav", dataset_root="")
     np.testing.assert_array_equal(got, np.zeros(16000, np.float32))

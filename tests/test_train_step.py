@@ -97,17 +97,16 @@ def test_param_labels_cover_all_leaves():
     assert set(flat_l) <= valid
 
 
-def test_dryrun_multichip_8():
-    import sys, pathlib
-    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
-    import __graft_entry__ as ge
-    ge.dryrun_multichip(8)
-
-
 def test_dryrun_multichip_self_sufficient_subprocess():
     """The driver invokes dryrun_multichip(8) in a fresh process under the
     pinned 1-device default platform; it must stand up its own virtual
-    8-device CPU mesh (round-1 MULTICHIP failure mode)."""
+    8-device CPU mesh (round-1 MULTICHIP failure mode).
+
+    Subprocess-only on purpose: this matches the driver's invocation, and
+    an in-process variant flakily aborts inside the jax 0.9 CPU runtime
+    when the sharded step executes late in a long pytest session
+    (state-dependent C++ abort in buffer fetch — reproduced ~50% at
+    suite position ~150, never standalone in 6/6 fresh-process runs)."""
     import subprocess, sys, pathlib
     root = pathlib.Path(__file__).resolve().parent.parent
     env = dict(__import__("os").environ)
