@@ -29,6 +29,9 @@ def main():
                    help="force the ASR feature path on (normally restored "
                         "from the checkpoint's embedded config)")
     p.add_argument("--platform", type=str, default=None)
+    p.add_argument("--int8", action="store_true",
+                   help="int8-quantize the frozen backbones for serving "
+                        "(ops/quant.py)")
     args = p.parse_args()
 
     if args.platform:
@@ -51,6 +54,9 @@ def main():
             data=dataclasses.replace(cfg.data, emit_asr_feats=True))
 
     params, _, meta = ckpt.restore_checkpoint(args.checkpoint)
+    if args.int8:
+        from multilingual_multimodal_speech_emotion_recognition_tpu.ops import quant
+        params = quant.quantize_backbones(params)
     print(f"Loaded checkpoint: {args.checkpoint} "
           f"(epoch {meta.get('epoch')}, f1 {meta.get('f1')})")
 
