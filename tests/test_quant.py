@@ -39,6 +39,16 @@ def test_quantize_stacked_kernels():
     assert nrmse < 0.03, nrmse
 
 
+def test_cast_floating_preserves_scales():
+    """bf16 serving must not round the f32 dequantization scales."""
+    p = layers.init_linear(jax.random.key(0), 64, 64)
+    qp = {"lin": quant.quantize_linear(p)}
+    cast = mdl.cast_floating(qp, jnp.bfloat16)
+    assert cast["lin"]["w_scale"].dtype == jnp.float32
+    assert cast["lin"]["kernel_q"].dtype == jnp.int8
+    assert cast["lin"]["bias"].dtype == jnp.bfloat16
+
+
 def test_model_forward_quantized_backbones():
     cfg = tiny_config()
     params = mdl.init_model(jax.random.key(0), cfg)
