@@ -89,6 +89,15 @@ def init_layer_norm(dim: int, dtype=jnp.float32) -> dict:
     return {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
 
 
+def gelu(x: Array) -> Array:
+    """GELU matching the backbone parity contract per dtype: exact erf in
+    f32 (HF's default for wav2vec2/XLM-R), tanh approximation in bf16 —
+    the approximation's ~1e-3 error sits below bf16's own ~4e-3 rounding,
+    and the exact erf costs ~2x on the VPU (measured on v5e:
+    [64,12800,512] gelu exact 7.9 ms vs tanh 4.3 ms vs relu floor 4.5 ms)."""
+    return jax.nn.gelu(x, approximate=(x.dtype == jnp.bfloat16))
+
+
 def layer_norm(params: dict, x: Array, *, eps: float = 1e-5) -> Array:
     # Compute the moments in f32 regardless of activation dtype (bf16-safe).
     xf = x.astype(jnp.float32)

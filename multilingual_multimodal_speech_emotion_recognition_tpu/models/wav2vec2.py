@@ -235,7 +235,7 @@ def feature_encoder(params: dict, cfg: Wav2Vec2Config, wave: Array,
         elif i == 0:
             fm = (jnp.arange(x.shape[1])[None, :] < lengths[:, None])
             x = masked_group_norm_per_channel(params["group_norm"], x, fm)
-        x = jax.nn.gelu(x, approximate=False)
+        x = layers.gelu(x)
     frame_mask = (jnp.arange(x.shape[1])[None, :] < lengths[:, None]).astype(x.dtype)
     return x, frame_mask
 
@@ -328,8 +328,7 @@ def _encoder_stack(stacked: dict, cfg: Wav2Vec2Config, h: Array,
             return layers.dropout(k2, ctx, cfg.hidden_dropout, deterministic)
 
         def ffn(xin):
-            f = jax.nn.gelu(layers.linear(layer["ffn_in"], xin),
-                            approximate=False)
+            f = layers.gelu(layers.linear(layer["ffn_in"], xin))
             f = layers.dropout(k3, f, cfg.activation_dropout, deterministic)
             f = layers.linear(layer["ffn_out"], f)
             return layers.dropout(k4, f, cfg.hidden_dropout, deterministic)
@@ -390,7 +389,7 @@ def wav2vec2_encode(params: dict, cfg: Wav2Vec2Config, wave: Array,
     # with even kernel and padding k//2 the conv yields T+1 frames; HF's
     # SamePadLayer drops the trailing one — slicing to T does both cases.
     pos = pos[:, : h.shape[1], :]
-    pos = jax.nn.gelu(pos, approximate=False)
+    pos = layers.gelu(pos)
     h = h + pos
     if not cfg.do_stable_layer_norm:
         # post-LN encoder normalizes before the stack (HF Wav2Vec2Encoder)

@@ -124,7 +124,7 @@ def xlmr_encode(params: dict, cfg: XLMRConfig, input_ids: Array,
         ctx = layers.dropout(k2, ctx, cfg.hidden_dropout, deterministic)
         x = layers.layer_norm(layer["attn_ln"], x + ctx, eps=cfg.layer_norm_eps)
 
-        f = jax.nn.gelu(layers.linear(layer["ffn_in"], x), approximate=False)
+        f = layers.gelu(layers.linear(layer["ffn_in"], x))
         f = layers.linear(layer["ffn_out"], f)
         f = layers.dropout(k3, f, cfg.hidden_dropout, deterministic)
         x = layers.layer_norm(layer["final_ln"], x + f, eps=cfg.layer_norm_eps)
