@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Export a checkpoint as an AOT serving artifact (StableHLO + params).
+
+No reference equivalent (its deployment story is re-running the research
+scripts); see multilingual_multimodal_speech_emotion_recognition_tpu/export.py.
+Artifacts are per-shape and per-platform — run on the platform you serve on
+(e.g. once per audio bucket for bucketed serving).
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--out_dir", required=True)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--audio_seconds", type=float, default=4.0)
+    p.add_argument("--text_tokens", type=int, default=32)
+    p.add_argument("--no_dsp", action="store_true",
+                   help="expect precomputed quality/cond feats instead of "
+                        "running the device DSP front-end in the program")
+    p.add_argument("--no_openmax", action="store_true")
+    p.add_argument("--int8", action="store_true",
+                   help="int8-quantize the frozen backbones before export")
+    p.add_argument("--platform", default=None)
+    args = p.parse_args()
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    from multilingual_multimodal_speech_emotion_recognition_tpu import (
+        config as cfg_lib, export as ex)
+    from multilingual_multimodal_speech_emotion_recognition_tpu.train import (
+        checkpoint as ckpt)
+
+    cfg_json = ckpt.load_config_json(args.checkpoint)
+    cfg = cfg_lib.from_json(cfg_json) if cfg_json else cfg_lib.Config()
+    params, _, meta = ckpt.restore_checkpoint(args.checkpoint)
+    if args.int8:
+        from multilingual_multimodal_speech_emotion_recognition_tpu.ops import quant
+        params = quant.quantize_backbones(params)
+
+    art = ex.export_forward(
+        params, cfg.model, args.out_dir, batch_size=args.batch_size,
+        audio_seconds=args.audio_seconds, text_tokens=args.text_tokens,
+        with_dsp=not args.no_dsp, use_openmax=not args.no_openmax,
+        config_json=cfg_json)
+    print(f"Exported {args.checkpoint} (epoch {meta.get('epoch')}) -> {art}")
+
+
+if __name__ == "__main__":
+    main()

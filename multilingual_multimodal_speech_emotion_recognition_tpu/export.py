@@ -1,0 +1,153 @@
+"""AOT model export for serving (jax.export / StableHLO).
+
+The reference has no deployment story — its entry points are research
+scripts that rebuild eight nn.Modules from a checkpoint every run
+(/root/reference/src/interface.py:23-123). Here the flagship forward is
+packaged as a serialized StableHLO program plus its parameter pytree: a
+serving process deserializes the program and runs it without tracing,
+model code, or transformers on the hot path — the TPU-native equivalent
+of a saved-model artifact.
+
+Artifacts are per-shape (fixed-shape bucketed serving, like the data
+pipeline) and per-platform (StableHLO is lowered with platform checks;
+export on the deploy platform). Layout on disk:
+
+    <dir>/program.bin    jax.export serialization of fn(params, batch)
+    <dir>/params.npz     flat parameter arrays (path-keyed)
+    <dir>/spec.json      batch spec + config JSON + output names
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from .config import ModelConfig
+
+OUTPUTS = ("logits", "uncertainty", "features")
+
+
+def _flatten_params(params) -> Dict[str, np.ndarray]:
+    import jax
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    return {jax.tree_util.keystr(path): np.asarray(leaf)
+            for path, leaf in flat}
+
+
+def _batch_spec(batch_size: int, audio_samples: int, text_tokens: int,
+                with_dsp: bool) -> Dict[str, Tuple[tuple, str]]:
+    spec = {
+        "audio": ((batch_size, audio_samples), "float32"),
+        "audio_mask": ((batch_size, audio_samples), "float32"),
+        "text_ids": ((batch_size, text_tokens), "int32"),
+        "text_mask": ((batch_size, text_tokens), "float32"),
+    }
+    if with_dsp:
+        spec["lid_entropy"] = ((batch_size,), "float32")
+        spec["lid_conf"] = ((batch_size,), "float32")
+    else:
+        spec["quality_feats"] = ((batch_size, 8), "float32")
+        spec["cond_feats"] = ((batch_size, 12), "float32")
+    return spec
+
+
+def export_forward(params, cfg: ModelConfig, out_dir: str | Path, *,
+                   batch_size: int = 32, audio_seconds: float = 4.0,
+                   text_tokens: int = 32, sample_rate: int = 16000,
+                   with_dsp: bool = True, use_openmax: bool = True,
+                   config_json: Optional[str] = None) -> Path:
+    """Serialize the fused forward (optionally including the device DSP
+    front-end) for one serving shape. Returns the artifact directory."""
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexp
+    from .models import model as mdl
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    T = int(audio_seconds * sample_rate)
+    spec = _batch_spec(batch_size, T, text_tokens, with_dsp)
+
+    # store the artifact in f32 (npz has no bfloat16); model_forward casts
+    # to cfg.compute_dtype internally, so serving numerics are unchanged
+    params = mdl.cast_floating(params, jnp.float32)
+
+    def fn(p, batch):
+        o = mdl.model_forward(p, cfg, batch, deterministic=True,
+                              use_openmax=use_openmax)
+        return (o.logits.astype(jnp.float32),
+                o.uncertainty.astype(jnp.float32),
+                o.features.astype(jnp.float32))
+
+    p_struct = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params)
+    b_struct = {k: jax.ShapeDtypeStruct(shape, dtype)
+                for k, (shape, dtype) in spec.items()}
+    exp = jexp.export(jax.jit(fn))(p_struct, b_struct)
+    (out / "program.bin").write_bytes(exp.serialize())
+
+    np.savez(out / "params.npz", **_flatten_params(params))
+    (out / "spec.json").write_text(json.dumps({
+        "batch_spec": {k: [list(s), d] for k, (s, d) in spec.items()},
+        "outputs": list(OUTPUTS),
+        "with_dsp": with_dsp,
+        "use_openmax": use_openmax,
+        "platforms": list(exp.platforms),
+        "config_json": config_json,
+    }))
+    return out
+
+
+class ServingModel:
+    """Deserialized artifact: `predict(batch)` with zero retracing."""
+
+    def __init__(self, art_dir: str | Path):
+        import jax
+        from jax import export as jexp
+        art = Path(art_dir)
+        self.spec = json.loads((art / "spec.json").read_text())
+        self._exp = jexp.deserialize((art / "program.bin").read_bytes())
+        loaded = np.load(art / "params.npz")
+        self._flat_params = {k: loaded[k] for k in loaded.files}
+        self._call = jax.jit(self._exp.call)
+        self._params_dev = None
+
+    def _params_in_order(self):
+        # jax.export flattens (params, batch) by tree order; rebuild the
+        # params pytree from path-keyed arrays lazily on first call
+        if self._params_dev is None:
+            import jax
+            tree = {}
+            for key, arr in self._flat_params.items():
+                # keystr like "['audio_backbone']['convs'][0]['kernel']"
+                parts = [p.strip("'\"") for p in
+                         key.replace("]", "").split("[") if p]
+                node = tree
+                for p in parts[:-1]:
+                    node = node.setdefault(p, {})
+                node[parts[-1]] = jax.numpy.asarray(arr)
+            self._params_dev = _listify(tree)
+        return self._params_dev
+
+    def predict(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        import jax.numpy as jnp
+        spec = self.spec["batch_spec"]
+        dev_batch = {k: jnp.asarray(np.asarray(batch[k], dtype=d))
+                     for k, (s, d) in spec.items()}
+        outs = self._call(self._params_in_order(), dev_batch)
+        return {name: np.asarray(o)
+                for name, o in zip(self.spec["outputs"], outs)}
+
+
+def _listify(node):
+    """Convert dicts whose keys are all digit strings back into lists
+    (conv stacks are Python lists in the param tree)."""
+    if isinstance(node, dict):
+        conv = {k: _listify(v) for k, v in node.items()}
+        if conv and all(k.isdigit() for k in conv):
+            return [conv[str(i)] for i in range(len(conv))]
+        return conv
+    return node

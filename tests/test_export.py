@@ -1,0 +1,74 @@
+"""AOT serving export (export.py): serialize → deserialize → parity."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from multilingual_multimodal_speech_emotion_recognition_tpu import export as ex
+from multilingual_multimodal_speech_emotion_recognition_tpu.models import model as mdl
+
+from test_model import tiny_config
+
+RNG = np.random.default_rng(3)
+
+
+def _batch(cfg, B, T, S, with_dsp):
+    b = {
+        "audio": RNG.standard_normal((B, T)).astype(np.float32) * 0.1,
+        "audio_mask": np.ones((B, T), np.float32),
+        "text_ids": RNG.integers(2, cfg.text.vocab_size, (B, S)).astype(np.int32),
+        "text_mask": np.ones((B, S), np.float32),
+    }
+    if with_dsp:
+        b["lid_entropy"] = np.full((B,), 1.0, np.float32)
+        b["lid_conf"] = np.zeros((B,), np.float32)
+    else:
+        b["quality_feats"] = np.zeros((B, 8), np.float32)
+        b["cond_feats"] = np.zeros((B, 12), np.float32)
+    return b
+
+
+def test_export_roundtrip_matches_forward(tmp_path):
+    cfg = tiny_config()
+    params = mdl.init_model(jax.random.key(0), cfg)
+    B, S = 2, 8
+    sec = 0.2
+    T = int(sec * 16000)
+
+    art = ex.export_forward(params, cfg, tmp_path / "art", batch_size=B,
+                            audio_seconds=sec, text_tokens=S, with_dsp=False,
+                            use_openmax=True)
+    assert (art / "program.bin").exists() and (art / "params.npz").exists()
+
+    served = ex.ServingModel(art)
+    batch = _batch(cfg, B, T, S, with_dsp=False)
+    out = served.predict(batch)
+    assert set(out) == {"logits", "uncertainty", "features"}
+
+    want = mdl.model_forward(params, cfg, {k: jnp.asarray(v)
+                                           for k, v in batch.items()},
+                             deterministic=True, use_openmax=True)
+    np.testing.assert_allclose(out["logits"],
+                               np.asarray(want.logits, np.float32),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(out["features"],
+                               np.asarray(want.features, np.float32),
+                               rtol=1e-5, atol=1e-5)
+
+    # a second predict reuses the compiled call (no retrace errors)
+    out2 = served.predict(batch)
+    np.testing.assert_array_equal(out["logits"], out2["logits"])
+
+
+def test_export_with_device_dsp(tmp_path):
+    cfg = tiny_config()
+    params = mdl.init_model(jax.random.key(1), cfg)
+    B, S = 2, 8
+    sec = 0.2
+    T = int(sec * 16000)
+    art = ex.export_forward(params, cfg, tmp_path / "dsp_art", batch_size=B,
+                            audio_seconds=sec, text_tokens=S, with_dsp=True)
+    served = ex.ServingModel(art)
+    out = served.predict(_batch(cfg, B, T, S, with_dsp=True))
+    assert np.isfinite(out["logits"]).all()
+    assert out["logits"].shape == (B, cfg.num_labels)
