@@ -22,15 +22,57 @@ import numpy as np
 
 
 def _to_numpy_tree(tree):
-    return jax.tree.map(lambda x: np.asarray(x), tree)
+    # one device_get for the whole tree (fans the device->host fetches out
+    # together instead of blocking leaf by leaf — matters on relayed
+    # backends where each transfer carries round-trip latency)
+    return jax.tree.map(np.asarray, jax.device_get(tree))
+
+
+# top-level param subtrees that never change under freeze_backbones=True
+# (train_step stop_gradients them and the optimizer set_to_zeros them)
+FROZEN_SUBTREES = ("audio_backbone", "text_backbone")
+
+
+def _write_state(prefix: Path, state: dict) -> None:
+    try:
+        import orbax.checkpoint as ocp
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(prefix.absolute(), state, force=True)
+        ckptr.wait_until_finished()
+    except Exception:
+        with open(prefix.parent / (prefix.name + ".pkl"), "wb") as f:
+            pickle.dump(state, f)
+
+
+def _read_state(prefix: Path, template=None):
+    pkl = prefix.parent / (prefix.name + ".pkl")
+    if pkl.exists():
+        with open(pkl, "rb") as f:
+            return pickle.load(f)
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    if template is not None:
+        return ckptr.restore(prefix.absolute(), template)
+    return ckptr.restore(prefix.absolute())
 
 
 def save_checkpoint(path: str | Path, *, params, opt_state=None, step: int = 0,
                     epoch: int = 0, f1: float = 0.0,
                     config_json: Optional[str] = None,
-                    extra: Optional[Dict[str, Any]] = None) -> Path:
+                    extra: Optional[Dict[str, Any]] = None,
+                    dedup_frozen: bool = False,
+                    frozen_store: Optional[str | Path] = None) -> Path:
     """Write a checkpoint directory. Uses orbax if available, else pickle of
-    numpy-ified pytrees (both layouts carry the same 'meta.json')."""
+    numpy-ified pytrees (both layouts carry the same 'meta.json').
+
+    dedup_frozen: with frozen backbones (the reference's standard setup and
+    ours, TrainConfig.freeze_backbones), ~95% of checkpoint bytes are the
+    never-changing backbone subtrees the reference still re-serializes
+    every epoch (train.py:247-263). Here they are written ONCE to a shared
+    `frozen_store` sibling directory and each checkpoint stores only the
+    trainable params + a `frozen_ref.json`; restore_checkpoint merges
+    transparently, so readers are unchanged. Per-epoch checkpoint IO drops
+    from ~1.5 GB to ~30 MB at flagship scale."""
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
     meta = {"step": int(step), "epoch": int(epoch), "f1": float(f1)}
@@ -40,18 +82,27 @@ def save_checkpoint(path: str | Path, *, params, opt_state=None, step: int = 0,
     if config_json is not None:
         (path / "config.json").write_text(config_json)
 
-    state = {"params": _to_numpy_tree(params)}
+    to_save = params
+    if dedup_frozen:
+        frozen = {k: params[k] for k in FROZEN_SUBTREES if k in params}
+        if frozen:
+            store = Path(frozen_store) if frozen_store is not None \
+                else path.parent / "frozen_store"
+            if not (store / "DONE").exists():
+                store.mkdir(parents=True, exist_ok=True)
+                _write_state(store / "state",
+                             {"params": _to_numpy_tree(frozen)})
+                (store / "DONE").write_text("ok")
+            import os
+            (path / "frozen_ref.json").write_text(json.dumps({
+                "store": os.path.relpath(store, path),
+                "keys": sorted(frozen)}))
+            to_save = {k: v for k, v in params.items() if k not in frozen}
+
+    state = {"params": _to_numpy_tree(to_save)}
     if opt_state is not None:
         state["opt_state"] = _to_numpy_tree(opt_state)
-
-    try:
-        import orbax.checkpoint as ocp
-        ckptr = ocp.StandardCheckpointer()
-        ckptr.save((path / "state").absolute(), state, force=True)
-        ckptr.wait_until_finished()
-    except Exception:
-        with open(path / "state.pkl", "wb") as f:
-            pickle.dump(state, f)
+    _write_state(path / "state", state)
     return path
 
 
@@ -62,24 +113,32 @@ def restore_checkpoint(path: str | Path, *, params_template=None,
     path = Path(path)
     meta = json.loads((path / "meta.json").read_text()) if (path / "meta.json").exists() else {}
 
-    state = None
-    if (path / "state.pkl").exists():
-        with open(path / "state.pkl", "rb") as f:
-            state = pickle.load(f)
-    else:
-        import orbax.checkpoint as ocp
-        ckptr = ocp.StandardCheckpointer()
-        template = None
-        if params_template is not None:
-            template = {"params": _to_numpy_tree(params_template)}
-            if opt_state_template is not None:
-                template["opt_state"] = _to_numpy_tree(opt_state_template)
-        if template is not None:
-            state = ckptr.restore((path / "state").absolute(), template)
-        else:
-            state = ckptr.restore((path / "state").absolute())
+    frozen_ref = None
+    if (path / "frozen_ref.json").exists():
+        frozen_ref = json.loads((path / "frozen_ref.json").read_text())
+
+    p_template = params_template
+    if frozen_ref is not None and p_template is not None:
+        p_template = {k: v for k, v in p_template.items()
+                      if k not in frozen_ref["keys"]}
+
+    template = None
+    if p_template is not None:
+        template = {"params": _to_numpy_tree(p_template)}
+        if opt_state_template is not None:
+            template["opt_state"] = _to_numpy_tree(opt_state_template)
+    state = _read_state(path / "state", template)
 
     params = state["params"]
+    if frozen_ref is not None:
+        store = (path / frozen_ref["store"]).resolve()
+        f_template = None
+        if params_template is not None:
+            f_template = {"params": _to_numpy_tree(
+                {k: params_template[k] for k in frozen_ref["keys"]
+                 if k in params_template})}
+        frozen = _read_state(store / "state", f_template)["params"]
+        params = {**params, **frozen}
     opt_state = state.get("opt_state")
     if opt_state is not None and opt_state_template is not None:
         # Restored trees may be plain dicts/lists (orbax serializes optax

@@ -177,7 +177,8 @@ def train(cfg: Config, *, train_manifest: str, val_manifest: str,
         last_meta = {"step": global_step, "epoch": epoch, "f1": f1}
         ckpt_lib.save_checkpoint(
             last_path, params=params, opt_state=opt_state, **last_meta,
-            config_json=to_json(cfg))
+            config_json=to_json(cfg), dedup_frozen=tcfg.freeze_backbones,
+            frozen_store=save_root / "frozen_store")
 
         if f1 > best_f1:
             best_f1, best_epoch, best_path = f1, epoch, last_path
@@ -197,7 +198,9 @@ def train(cfg: Config, *, train_manifest: str, val_manifest: str,
     if last_path is not None:
         ckpt_lib.save_checkpoint(last_path, params=params,
                                  opt_state=opt_state, **last_meta,
-                                 config_json=to_json(cfg))
+                                 config_json=to_json(cfg),
+                                 dedup_frozen=tcfg.freeze_backbones,
+                                 frozen_store=save_root / "frozen_store")
     if best_path is not None and best_path != last_path:
         b_params, b_opt, b_meta = ckpt_lib.restore_checkpoint(
             best_path, params_template=params, opt_state_template=opt_state)
@@ -205,7 +208,9 @@ def train(cfg: Config, *, train_manifest: str, val_manifest: str,
         ckpt_lib.save_checkpoint(
             best_path, params=b_params, opt_state=b_opt,
             step=int(b_meta.get("step", 0)), epoch=int(b_meta.get("epoch", 0)),
-            f1=float(b_meta.get("f1", 0.0)), config_json=to_json(cfg))
+            f1=float(b_meta.get("f1", 0.0)), config_json=to_json(cfg),
+            dedup_frozen=tcfg.freeze_backbones,
+            frozen_store=save_root / "frozen_store")
 
     return {"params": params, "opt_state": opt_state, "history": history,
             "best_f1": best_f1, "final_f1": f1, "mesh": mesh}

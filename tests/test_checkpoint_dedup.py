@@ -1,0 +1,62 @@
+"""Frozen-subtree checkpoint dedup (train/checkpoint.py)."""
+
+import numpy as np
+import jax
+
+from multilingual_multimodal_speech_emotion_recognition_tpu.models import model as mdl
+from multilingual_multimodal_speech_emotion_recognition_tpu.train import checkpoint as ckpt
+
+from test_model import tiny_config
+
+
+def _assert_tree_equal(a, b):
+    la, lb = jax.tree.leaves(a), jax.tree.leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_dedup_roundtrip_and_size(tmp_path):
+    cfg = tiny_config()
+    params = mdl.init_model(jax.random.key(0), cfg)
+
+    slim = ckpt.save_checkpoint(tmp_path / "e0", params=params, epoch=0,
+                                dedup_frozen=True,
+                                frozen_store=tmp_path / "store")
+    assert (slim / "frozen_ref.json").exists()
+    assert (tmp_path / "store" / "DONE").exists()
+    # the per-checkpoint state drops the backbone subtrees entirely
+    raw = ckpt._read_state(slim / "state")
+    assert "audio_backbone" not in raw["params"]
+    assert "text_backbone" not in raw["params"]
+    assert "classifier" in raw["params"]
+
+    restored, _, _ = ckpt.restore_checkpoint(slim)
+    _assert_tree_equal(restored, params)
+
+    # with a structure template (the loop's resume path)
+    restored_t, _, _ = ckpt.restore_checkpoint(slim, params_template=params)
+    _assert_tree_equal(restored_t, params)
+
+
+def test_dedup_store_written_once(tmp_path):
+    cfg = tiny_config()
+    params = mdl.init_model(jax.random.key(1), cfg)
+    ckpt.save_checkpoint(tmp_path / "e0", params=params, epoch=0,
+                         dedup_frozen=True, frozen_store=tmp_path / "store")
+    mtimes = {f: f.stat().st_mtime_ns
+              for f in (tmp_path / "store").rglob("*") if f.is_file()}
+
+    # trainable params change between epochs; frozen store must not rewrite
+    params2 = dict(params)
+    params2["classifier"] = jax.tree.map(lambda x: x + 1.0,
+                                         params["classifier"])
+    ckpt.save_checkpoint(tmp_path / "e1", params=params2, epoch=1,
+                         dedup_frozen=True, frozen_store=tmp_path / "store")
+    for f, t in mtimes.items():
+        assert f.stat().st_mtime_ns == t, f
+
+    r1, _, _ = ckpt.restore_checkpoint(tmp_path / "e1")
+    _assert_tree_equal(r1, params2)
+    r0, _, _ = ckpt.restore_checkpoint(tmp_path / "e0")
+    _assert_tree_equal(r0, params)
