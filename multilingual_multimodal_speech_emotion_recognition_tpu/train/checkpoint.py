@@ -22,10 +22,18 @@ import numpy as np
 
 
 def _to_numpy_tree(tree):
-    # one device_get for the whole tree (fans the device->host fetches out
-    # together instead of blocking leaf by leaf — matters on relayed
-    # backends where each transfer carries round-trip latency)
-    return jax.tree.map(np.asarray, jax.device_get(tree))
+    # start every device->host copy asynchronously BEFORE blocking on any of
+    # them: a serial per-leaf fetch pays one link round trip per leaf, which
+    # on a relayed backend (axon tunnel) turns a ~700-leaf backbone tree
+    # into tens of minutes; overlapped it is bounded by link bandwidth.
+    leaves, treedef = jax.tree.flatten(tree)
+    for x in leaves:
+        if isinstance(x, jax.Array):
+            try:
+                x.copy_to_host_async()
+            except Exception:
+                pass
+    return jax.tree.unflatten(treedef, [np.asarray(x) for x in leaves])
 
 
 # top-level param subtrees that never change under freeze_backbones=True
