@@ -77,10 +77,57 @@ def param_shardings(params, mesh: Mesh):
     return jax.tree_util.tree_unflatten(treedef, shardings)
 
 
-def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Place a host batch onto the mesh, sharded over 'data'."""
+@jax.jit
+def _expand_audio(audio_i16, lengths):
+    """Device-side reconstruction of (audio f32, prefix mask f32)."""
+    audio = audio_i16.astype(jnp.float32) * (1.0 / 32768.0)
+    idx = jnp.arange(audio.shape[-1], dtype=jnp.int32)
+    mask = (idx[None, :] < lengths[:, None]).astype(jnp.float32)
+    return audio, mask
+
+
+def _compact_audio_host(audio, mask):
+    """(int16 audio, int32 lengths) when the wire compression is provably
+    lossless, else None: audio must dequantize bit-exactly (true for
+    PCM16-decoded sources, the datasets' format) and the mask must be in
+    length-prefix form (how the loader builds it)."""
+    if not (isinstance(audio, np.ndarray) and audio.dtype == np.float32
+            and isinstance(mask, np.ndarray) and audio.ndim == 2):
+        return None
+    lengths = mask.astype(bool).sum(-1).astype(np.int32)
+    idx = np.arange(audio.shape[-1])
+    if not ((idx[None, :] < lengths[:, None]) == mask.astype(bool)).all():
+        return None
+    if audio.size and float(np.abs(audio).max()) > 32767.0 / 32768.0:
+        return None
+    qi = np.round(audio * 32768.0).astype(np.int16)
+    if not np.array_equal(qi.astype(np.float32) * (1.0 / 32768.0), audio):
+        return None
+    return qi, lengths
+
+
+def shard_batch(batch: dict, mesh: Mesh, *, compact_audio: bool = True) -> dict:
+    """Place a host batch onto the mesh, sharded over 'data'.
+
+    compact_audio: the dominant transfer bytes are `audio` [B, T] f32 plus
+    its same-sized f32 prefix mask. When losslessly possible (PCM16-exact
+    samples, prefix-form mask — the loader's standard output) they ship as
+    int16 samples + int32 lengths (~25% of the bytes) and are reconstructed
+    on device, so every consumer still sees the standard f32 keys. Matters
+    on any host->device link (PCIe included), and 4x so on slow ones."""
     s = NamedSharding(mesh, P(DATA_AXIS))
-    return jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), s), batch)
+    put = lambda x: jax.device_put(jnp.asarray(x), s)
+    compact = None
+    if compact_audio and isinstance(batch.get("audio"), np.ndarray) \
+            and isinstance(batch.get("audio_mask"), np.ndarray):
+        compact = _compact_audio_host(batch["audio"], batch["audio_mask"])
+    if compact is None:
+        return jax.tree.map(put, batch)
+    qi, lengths = compact
+    rest = {k: put(v) for k, v in batch.items()
+            if k not in ("audio", "audio_mask")}
+    audio, mask = _expand_audio(put(qi), put(lengths))
+    return {**rest, "audio": audio, "audio_mask": mask}
 
 
 def shard_params(params, mesh: Mesh):

@@ -76,6 +76,38 @@ def test_ring_stack_seq_only_mesh():
                                rtol=2e-4, atol=2e-5)
 
 
+def test_shard_batch_compact_audio_lossless():
+    """int16 wire compression must be bit-exact and transparent; non-PCM16
+    audio must fall back to the plain f32 transfer."""
+    mesh = mesh_lib.make_mesh(data=4, model=2)
+    B, T = 8, 1600
+    pcm = RNG.integers(-32768, 32768, (B, T)).astype(np.float32) / 32768.0
+    lengths = RNG.integers(1, T + 1, B)
+    mask = (np.arange(T)[None, :] < lengths[:, None]).astype(np.float32)
+    pcm = pcm * mask
+    batch = {"audio": pcm, "audio_mask": mask,
+             "labels": np.arange(B, dtype=np.int32)}
+
+    dev = mesh_lib.shard_batch(batch, mesh)
+    np.testing.assert_array_equal(np.asarray(dev["audio"]), pcm)
+    np.testing.assert_array_equal(np.asarray(dev["audio_mask"]), mask)
+    np.testing.assert_array_equal(np.asarray(dev["labels"]), batch["labels"])
+
+    # non-PCM16-exact samples: compaction declines, values pass unchanged
+    odd = batch | {"audio": (pcm + 1e-7).astype(np.float32)}
+    dev2 = mesh_lib.shard_batch(odd, mesh)
+    np.testing.assert_array_equal(np.asarray(dev2["audio"]), odd["audio"])
+
+    # non-prefix mask: compaction declines
+    holey = dict(batch)
+    m2 = mask.copy()
+    m2[0, 0] = 0.0
+    m2[0, 1] = 1.0
+    holey["audio_mask"] = m2
+    dev3 = mesh_lib.shard_batch(holey, mesh)
+    np.testing.assert_array_equal(np.asarray(dev3["audio_mask"]), m2)
+
+
 @pytest.mark.parametrize("S", [32, 27])
 def test_ring_stack_wavlm_gated_relpos(S):
     """WavLM variant: the per-ring-step bias blocks must reassemble the
