@@ -27,6 +27,7 @@ from ..data import pipeline as pipeline_mod
 from ..data.pipeline import BucketedLoader, SERDataset
 from ..data.tokenizer import Tokenizer, get_tokenizer
 from ..models import model as mdl
+from ..data.prefetch import device_prefetch
 from ..ops import openmax as om
 from ..parallel import mesh as mesh_lib
 from ..utils.metrics import MetricsWriter, weighted_f1
@@ -40,10 +41,13 @@ def evaluate(params, cfg: Config, loader: BucketedLoader, mesh,
     """Run the eval loop; returns dict with preds/labels/logits (+features)."""
     step = ts.make_eval_step(cfg.model, use_openmax=use_openmax)
     logits_all, labels_all, feats_all = [], [], []
-    for batch in loader.epoch(0):
-        dev_batch = mesh_lib.shard_batch(
-            {k: v for k, v in batch.items()
+
+    def put(b):
+        return mesh_lib.shard_batch(
+            {k: v for k, v in b.items()
              if k not in pipeline_mod.EVAL_HOST_KEYS}, mesh)
+
+    for dev_batch, batch in device_prefetch(loader.epoch(0), put):
         logits, feats, _ = step(params, dev_batch)
         keep = batch["example_mask"] > 0
         logits_all.append(np.asarray(logits)[keep])
@@ -139,11 +143,16 @@ def train(cfg: Config, *, train_manifest: str, val_manifest: str,
         t0 = time.time()
         losses = []          # device scalars: loss sync deferred to log steps
         t_window, n_window = time.time(), 0
-        for batch in train_loader.epoch(epoch):
-            key, k_step = jax.random.split(key)
-            dev_batch = mesh_lib.shard_batch(
-                {k: v for k, v in batch.items()
+
+        def put_train(b):
+            return mesh_lib.shard_batch(
+                {k: v for k, v in b.items()
                  if k not in pipeline_mod.TRAIN_HOST_KEYS}, mesh)
+
+        # device transfer of batch N+1 overlaps step N (data/prefetch.py)
+        for dev_batch, batch in device_prefetch(train_loader.epoch(epoch),
+                                                put_train):
+            key, k_step = jax.random.split(key)
             params, opt_state, metrics = step_fn(params, opt_state, dev_batch, k_step)
             global_step += 1
             n_window += 1

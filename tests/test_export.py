@@ -60,6 +60,27 @@ def test_export_roundtrip_matches_forward(tmp_path):
     np.testing.assert_array_equal(out["logits"], out2["logits"])
 
 
+def test_export_int8_quantized_tree(tmp_path):
+    """Quantized param trees (int8 kernels + f32 scales) export/restore."""
+    from multilingual_multimodal_speech_emotion_recognition_tpu.ops import quant
+    cfg = tiny_config()
+    params = quant.quantize_backbones(mdl.init_model(jax.random.key(2), cfg),
+                                      min_size=16)
+    B, S = 2, 8
+    sec = 0.2
+    art = ex.export_forward(params, cfg, tmp_path / "q_art", batch_size=B,
+                            audio_seconds=sec, text_tokens=S, with_dsp=False)
+    served = ex.ServingModel(art)
+    batch = _batch(cfg, B, int(sec * 16000), S, with_dsp=False)
+    out = served.predict(batch)
+    want = mdl.model_forward(params, cfg, {k: jnp.asarray(v)
+                                           for k, v in batch.items()},
+                             deterministic=True, use_openmax=True)
+    np.testing.assert_allclose(out["logits"],
+                               np.asarray(want.logits, np.float32),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_export_with_device_dsp(tmp_path):
     cfg = tiny_config()
     params = mdl.init_model(jax.random.key(1), cfg)
