@@ -129,7 +129,10 @@ def _layer_forward_sp(layer: dict, cfg: Wav2Vec2Config, x: Array,
         return layers.linear(layer["out"], ctx)
 
     def ffn(xin):
-        f = jax.nn.gelu(layers.linear(layer["ffn_in"], xin), approximate=False)
+        # layers.gelu, not a hardcoded variant: the dense _encoder_stack uses
+        # the dtype-dependent GELU policy (tanh approx in bf16), and the
+        # sequence-parallel stack must match it bit-for-bit in every dtype.
+        f = layers.gelu(layers.linear(layer["ffn_in"], xin))
         return layers.linear(layer["ffn_out"], f)
 
     if cfg.do_stable_layer_norm:

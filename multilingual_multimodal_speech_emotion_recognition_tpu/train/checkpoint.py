@@ -41,6 +41,37 @@ def _to_numpy_tree(tree):
 FROZEN_SUBTREES = ("audio_backbone", "text_backbone")
 
 
+def _frozen_fingerprint(frozen_tree) -> str:
+    """Cheap but content-sensitive fingerprint of the frozen subtrees.
+
+    Hashes (a) every leaf's key path + shape + dtype and (b) an exact
+    content probe: the first/last 4 elements of each leaf, gathered into
+    ONE device array and fetched in a single small transfer (a full-tree
+    host fetch is ~9 min over the axon link; this is milliseconds).
+    Element sampling is exact bytes — no reduction-order sensitivity — so
+    the same weights fingerprint identically on CPU and TPU, while any
+    different pretrained checkpoint or backbone preset diverges in the
+    probe (or in the shape/dtype census) with overwhelming probability.
+    """
+    import hashlib
+
+    import jax.numpy as jnp
+
+    leaves = jax.tree_util.tree_flatten_with_path(frozen_tree)[0]
+    desc = [(list(_path_strs(p)), [int(d) for d in jnp.shape(x)],
+             str(jnp.result_type(x))) for p, x in leaves]
+    probes = []
+    for _, x in leaves:
+        flat = jnp.ravel(jnp.asarray(x, jnp.float32))
+        probes.append(flat[:4])
+        probes.append(flat[-4:])
+    probe = np.asarray(jnp.concatenate(probes)) if probes else np.zeros(0)
+    h = hashlib.sha256()
+    h.update(json.dumps(desc, sort_keys=True).encode())
+    h.update(probe.astype("<f4").tobytes())
+    return h.hexdigest()
+
+
 def _write_state(prefix: Path, state: dict) -> None:
     try:
         import orbax.checkpoint as ocp
@@ -96,11 +127,28 @@ def save_checkpoint(path: str | Path, *, params, opt_state=None, step: int = 0,
         if frozen:
             store = Path(frozen_store) if frozen_store is not None \
                 else path.parent / "frozen_store"
-            if not (store / "DONE").exists():
+            fp = _frozen_fingerprint(frozen)
+            done = store / "DONE"
+            if not done.exists():
                 store.mkdir(parents=True, exist_ok=True)
                 _write_state(store / "state",
                              {"params": _to_numpy_tree(frozen)})
-                (store / "DONE").write_text("ok")
+                done.write_text(json.dumps({"fingerprint": fp}))
+            else:
+                # Never silently reuse a store written for different frozen
+                # weights (e.g. re-running into the same save_dir with a
+                # different --audio_backbone): restore would then merge the
+                # WRONG backbone into every checkpoint with no error.
+                try:
+                    stored = json.loads(done.read_text()).get("fingerprint")
+                except (json.JSONDecodeError, OSError):
+                    stored = None
+                if stored != fp:
+                    raise ValueError(
+                        f"frozen_store at {store} was written for different "
+                        "frozen backbone weights (fingerprint mismatch: "
+                        f"stored={stored!r} current={fp[:16]}...). Delete the "
+                        "store or use a fresh save_dir/frozen_store.")
             import os
             (path / "frozen_ref.json").write_text(json.dumps({
                 "store": os.path.relpath(store, path),

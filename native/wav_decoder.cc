@@ -64,6 +64,10 @@ int parse_header(std::FILE* f, WavFormat* fmt, uint32_t* data_bytes) {
     if (!read_exact(f, ch, 8)) return kBadRiff;
     uint32_t size = rd_u32(ch + 4);
     if (std::memcmp(ch, "fmt ", 4) == 0) {
+      // Corrupt headers can declare absurd chunk sizes (up to 4 GB); real
+      // fmt chunks are 16/18/40 bytes. Cap well above that so a bad size
+      // becomes a clean fallback instead of a bad_alloc at the C boundary.
+      if (size > 65536) return kBadRiff;
       std::vector<uint8_t> body(size);
       if (!read_exact(f, body.data(), size)) return kBadRiff;
       if (size < 16) return kBadFormat;
@@ -125,6 +129,18 @@ void convert24(const uint8_t* raw, int64_t frames, uint16_t channels,
   }
 }
 
+// True iff the (format_tag, bits_per_sample) pair is one the converters
+// below handle. Shared by decode_one and ser_wav_info so the header probe
+// rejects ADPCM/etc. the same way the decoder does (bits=4 would otherwise
+// divide by bits/8 == 0 when computing the frame count).
+bool supported_format(const WavFormat& fmt) {
+  const uint16_t bits = fmt.bits_per_sample;
+  const bool ok_bits = (fmt.format_tag == 3 && bits == 32) ||
+                       (fmt.format_tag == 1 &&
+                        (bits == 8 || bits == 16 || bits == 24 || bits == 32));
+  return ok_bits && fmt.channels != 0;
+}
+
 // Decode one file into out[0..capacity) (mono, trimmed), pad with zeros up
 // to min_samples. *out_len = number of samples written (valid + pad).
 int decode_one(const char* path, int32_t target_sr, float* out,
@@ -139,12 +155,8 @@ int decode_one(const char* path, int32_t target_sr, float* out,
     std::fclose(f);
     return st;
   }
-  const bool ok_tag = fmt.format_tag == 1 || fmt.format_tag == 3;
   const uint16_t bits = fmt.bits_per_sample;
-  const bool ok_bits = (fmt.format_tag == 3 && bits == 32) ||
-                       (fmt.format_tag == 1 &&
-                        (bits == 8 || bits == 16 || bits == 24 || bits == 32));
-  if (!ok_tag || !ok_bits || fmt.channels == 0) {
+  if (!supported_format(fmt)) {
     std::fclose(f);
     return kBadFormat;
   }
@@ -189,6 +201,20 @@ int decode_one(const char* path, int32_t target_sr, float* out,
   return kOk;
 }
 
+// Nothing may throw across the extern-C/ctypes boundary (it would
+// std::terminate the training process). Any escaping exception — e.g. a
+// bad_alloc from a pathological allocation — becomes a fallback status.
+int decode_one_noexcept(const char* path, int32_t target_sr, float* out,
+                        int64_t capacity, int64_t min_samples,
+                        int64_t* out_len) noexcept {
+  try {
+    return decode_one(path, target_sr, out, capacity, min_samples, out_len);
+  } catch (...) {
+    *out_len = 0;
+    return kBadRiff;
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -203,7 +229,10 @@ int32_t ser_wav_info(const char* path, int64_t* n_frames, int32_t* sr) {
   int st = parse_header(f, &fmt, &data_bytes);
   std::fclose(f);
   if (st != kOk) return st;
-  if (fmt.channels == 0 || fmt.bits_per_sample == 0) return kBadFormat;
+  // Same gate as decode_one: compressed formats (ADPCM bits=4, MP3-in-WAV,
+  // ...) would yield a bogus frame count — and bits/8 == 0 for sub-byte
+  // codecs would SIGFPE. Route them to the Python duration probe instead.
+  if (!supported_format(fmt)) return kBadFormat;
   *n_frames = data_bytes / ((fmt.bits_per_sample / 8) * fmt.channels);
   *sr = static_cast<int32_t>(fmt.sample_rate);
   return kOk;
@@ -213,7 +242,8 @@ int32_t ser_wav_info(const char* path, int64_t* n_frames, int32_t* sr) {
 int32_t ser_decode_wav(const char* path, int32_t target_sr, float* out,
                        int64_t capacity, int64_t min_samples,
                        int64_t* out_len) {
-  return decode_one(path, target_sr, out, capacity, min_samples, out_len);
+  return decode_one_noexcept(path, target_sr, out, capacity, min_samples,
+                             out_len);
 }
 
 // Whole-batch decode: paths[i] -> out[i*stride .. i*stride+capacity), with
@@ -228,8 +258,8 @@ void ser_decode_batch(const char** paths, int32_t n, int32_t target_sr,
     for (;;) {
       int32_t i = next.fetch_add(1);
       if (i >= n) return;
-      statuses[i] = decode_one(paths[i], target_sr, out + i * stride,
-                               capacity, min_samples, &out_lens[i]);
+      statuses[i] = decode_one_noexcept(paths[i], target_sr, out + i * stride,
+                                        capacity, min_samples, &out_lens[i]);
     }
   };
   if (n_threads <= 1 || n <= 1) {

@@ -60,3 +60,26 @@ def test_dedup_store_written_once(tmp_path):
     _assert_tree_equal(r1, params2)
     r0, _, _ = ckpt.restore_checkpoint(tmp_path / "e0")
     _assert_tree_equal(r0, params)
+
+
+def test_dedup_store_fingerprint_rejects_different_backbone(tmp_path):
+    """Reusing a frozen_store written for DIFFERENT frozen weights must
+    raise, not silently merge the stale backbone into new checkpoints."""
+    import pytest
+
+    cfg = tiny_config()
+    params = mdl.init_model(jax.random.key(2), cfg)
+    ckpt.save_checkpoint(tmp_path / "e0", params=params, epoch=0,
+                         dedup_frozen=True, frozen_store=tmp_path / "store")
+
+    other = dict(params)
+    other["audio_backbone"] = jax.tree.map(lambda x: x + 0.5,
+                                           params["audio_backbone"])
+    with pytest.raises(ValueError, match="fingerprint mismatch"):
+        ckpt.save_checkpoint(tmp_path / "e0_other", params=other, epoch=0,
+                             dedup_frozen=True,
+                             frozen_store=tmp_path / "store")
+
+    # same weights keep working (fingerprint matches, store reused)
+    ckpt.save_checkpoint(tmp_path / "e1", params=params, epoch=1,
+                         dedup_frozen=True, frozen_store=tmp_path / "store")

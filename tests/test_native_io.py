@@ -184,3 +184,47 @@ def test_bucketed_loader_native_matches_python(tmp_path, monkeypatch):
         assert set(nb) == set(pb)
         for k in nb:
             np.testing.assert_array_equal(nb[k], pb[k], err_msg=k)
+
+
+def test_wav_info_rejects_adpcm_and_oversized_fmt(tmp_path):
+    """Compressed encodings and corrupt headers must fall back cleanly.
+
+    bits_per_sample=4 (IMA ADPCM) used to integer-divide by bits/8 == 0 in
+    ser_wav_info (SIGFPE killing the process); a fmt chunk declaring a
+    multi-GB size used to bad_alloc across the C boundary. Both now return
+    fallback statuses so pipeline.audio_length takes the Python probe.
+    """
+    import struct
+
+    def riff(fmt_body, data=b"\x00" * 64, fmt_size=None):
+        fmt_size = len(fmt_body) if fmt_size is None else fmt_size
+        chunks = (b"fmt " + struct.pack("<I", fmt_size) + fmt_body +
+                  b"data" + struct.pack("<I", len(data)) + data)
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    def fmt_body(tag, channels, sr, bits):
+        block = max(1, channels * (bits // 8))
+        return struct.pack("<HHIIHH", tag, channels, sr, sr * block, block,
+                           bits)
+
+    adpcm = tmp_path / "adpcm.wav"
+    adpcm.write_bytes(riff(fmt_body(0x11, 1, 16000, 4)))  # IMA ADPCM
+    assert native.wav_info(adpcm) is None  # no SIGFPE, clean fallback
+
+    mp3 = tmp_path / "mp3.wav"
+    mp3.write_bytes(riff(fmt_body(0x55, 1, 16000, 0)))  # MPEG layer 3
+    assert native.wav_info(mp3) is None
+
+    huge_fmt = tmp_path / "huge_fmt.wav"
+    # fmt chunk claiming ~4 GB: must not try to allocate it
+    huge_fmt.write_bytes(riff(fmt_body(1, 1, 16000, 16),
+                              fmt_size=0xFFFF0000))
+    assert native.wav_info(huge_fmt) is None
+    out = np.zeros(16000, np.float32)
+    lib = native._load()
+    import ctypes
+    n = ctypes.c_int64(0)
+    st = lib.ser_decode_wav(str(huge_fmt).encode(), 16000,
+                            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                            16000, 8000, ctypes.byref(n))
+    assert st != native.OK  # fallback status, process alive

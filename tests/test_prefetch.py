@@ -54,3 +54,29 @@ def test_put_exception_propagates():
     it = device_prefetch(iter([{"k": 0}, {"k": 1}, {"k": 2}]), put)
     with pytest.raises(ValueError, match="bad batch"):
         list(it)
+
+
+def test_abandoned_consumer_stops_worker():
+    """Closing the iterator early must unblock and stop the worker thread
+    (it used to block forever on q.put, pinning device batches)."""
+    import threading
+
+    produced = []
+
+    def gen():
+        for k in range(1000):
+            produced.append(k)
+            yield {"k": k}
+
+    it = device_prefetch(gen(), lambda b: b, depth=1)
+    next(it)
+    it.close()  # consumer abandons mid-stream
+    deadline = time.time() + 5.0
+    while time.time() < deadline:
+        alive = [t for t in threading.enumerate()
+                 if t.name == "device-prefetch" and t.is_alive()]
+        if not alive:
+            break
+        time.sleep(0.05)
+    assert not alive, "prefetch worker leaked after consumer close()"
+    assert len(produced) < 1000  # worker stopped early, didn't drain source
