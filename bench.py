@@ -16,9 +16,19 @@ AudioEncoder.forward (audio_encoder.py:65-88), so its ~50 ms/sample V100
 claim (/root/reference/ARCHITECTURE_DOCUMENTATION.md:410) is also
 end-to-end; baseline = 20 utterances/sec. `vs_baseline` = value / 20.
 
-Prints ONE JSON line. `value` is the end-to-end number;
-`forward_only_utt_per_sec` (encoders onward, precomputed front-end
-features) is included for component accounting.
+Prints ONE JSON line. `value` is the clean-audio end-to-end number; the
+bracketing fields record:
+  e2e_worst_utt_per_sec  — adversarial audio firing EVERY heavy lax.cond
+                           DSP branch (50 Hz hum + low-SNR mixture +
+                           long-decay reverb profile); real noisy corpora
+                           sit between `value` and this
+  tta_utt_per_sec        — the reference eval.py serving mode: 5× TTA
+                           (speed ±5% + noise) + OpenMax + temperature
+                           scaling (src/eval.py:23-67,174-202)
+  forward_only_utt_per_sec — encoders onward, precomputed front-end feats
+  mfu_pct / achieved_tflops — analytic model GFLOP/utt (see
+                           eval/benchmark.py:model_gflops_per_utt) × the
+                           forward-only rate vs the v5e bf16 peak
 """
 
 import json
@@ -34,15 +44,15 @@ ITERS = 10
 BASELINE_UTT_PER_SEC = 20.0  # 50 ms/sample on V100 (reference claim)
 
 
-def _timed(fwd, params, batch):
+def _timed(fwd, params, batch, *extra):
     # sync via host transfer of a tiny output: on relayed backends (axon
     # tunnel) block_until_ready returns before remote execution completes.
     for _ in range(WARMUP):
-        np.asarray(fwd(params, batch))
+        np.asarray(fwd(params, batch, *extra))
     t0 = time.perf_counter()
     out = None
     for _ in range(ITERS):
-        out = fwd(params, batch)
+        out = fwd(params, batch, *extra)
     np.asarray(out)
     return time.perf_counter() - t0
 
@@ -51,8 +61,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from multilingual_multimodal_speech_emotion_recognition_tpu.config import ModelConfig
-    from multilingual_multimodal_speech_emotion_recognition_tpu.models import model as mdl
+    from multilingual_multimodal_speech_emotion_recognition_tpu.config import (
+        Config, ModelConfig)
+    from multilingual_multimodal_speech_emotion_recognition_tpu.eval import (
+        benchmark as bm, evaluate as ev)
+    from multilingual_multimodal_speech_emotion_recognition_tpu.models import (
+        model as mdl)
 
     cfg = ModelConfig(compute_dtype="bfloat16")
     params = mdl.init_model(jax.random.key(0), cfg)
@@ -72,6 +86,8 @@ def main():
     }
     # absent quality/cond feats => model_forward runs the device DSP branch
     e2e_batch = base_batch
+    worst_batch = {**base_batch, "audio": jnp.asarray(
+        bm.worst_case_dsp_audio(rng, BATCH, T) * audio_mask)}
     fwd_batch = {**base_batch,
                  "quality_feats": jnp.zeros((BATCH, 8), jnp.float32),
                  "cond_feats": jnp.zeros((BATCH, 12), jnp.float32)}
@@ -81,18 +97,41 @@ def main():
         out = mdl.model_forward(params, cfg, batch, deterministic=True)
         return out.logits
 
+    # the reference's shipped eval mode: 5x TTA + OpenMax + temperature
+    tta_step = ev.make_tta_eval_step(Config(model=cfg), num_tta=5,
+                                     use_openmax=True)
+    tta_rng = jax.random.key(1)
+
+    @jax.jit
+    def tta_fwd(params, batch, rng_key):
+        return tta_step(params, batch, rng_key) / 1.2  # temperature scaling
+
     dt_e2e = _timed(fwd, params, e2e_batch)
+    dt_worst = _timed(fwd, params, worst_batch)
     dt_fwd = _timed(fwd, params, fwd_batch)
+    dt_tta = _timed(tta_fwd, params, e2e_batch, tta_rng)
 
     n_chips = jax.device_count()
     e2e = BATCH * ITERS / dt_e2e / n_chips
+    worst = BATCH * ITERS / dt_worst / n_chips
     fwd_only = BATCH * ITERS / dt_fwd / n_chips
+    tta = BATCH * ITERS / dt_tta / n_chips
+
+    flops = bm.model_gflops_per_utt(cfg, audio_seconds=SECONDS,
+                                    text_tokens=TEXT_TOKENS)
+    achieved_tflops = flops["total_gflops"] * fwd_only / 1e3
+    mfu = 100.0 * achieved_tflops / bm.V5E_BF16_PEAK_TFLOPS
     print(json.dumps({
         "metric": "utterances_per_sec_per_chip",
         "value": round(e2e, 2),
         "unit": "utt/s",
         "vs_baseline": round(e2e / BASELINE_UTT_PER_SEC, 3),
+        "e2e_worst_utt_per_sec": round(worst, 2),
+        "tta_utt_per_sec": round(tta, 2),
         "forward_only_utt_per_sec": round(fwd_only, 2),
+        "model_gflops_per_utt": round(flops["total_gflops"], 2),
+        "achieved_tflops": round(achieved_tflops, 2),
+        "mfu_pct": round(mfu, 2),
         "batch": BATCH, "clip_seconds": SECONDS,
     }))
 

@@ -36,6 +36,11 @@ def main():
                    help="zero-shot cross-lingual eval: render manifest "
                         "texts into these native scripts (same audio), "
                         "report per-language slices + transfer ratios")
+    p.add_argument("--open_set_unknown_class", type=str, default=None,
+                   help="leave-one-class-out open-set protocol: treat this "
+                        "class (index or emotion name, e.g. 'disgust') as "
+                        "unknown at eval and report OSCR/AUROC/AUPR/FPR@95 "
+                        "for MSP, energy, and OpenMax unknown scores")
     p.add_argument("--platform", default=None)
     args = p.parse_args()
 
@@ -57,6 +62,19 @@ def main():
     params, _, meta = ckpt.restore_checkpoint(args.checkpoint)
     print(f"Loaded checkpoint: {args.checkpoint} "
           f"(epoch {meta.get('epoch')}, f1 {meta.get('f1')})")
+    unknown_class = None
+    if args.open_set_unknown_class is not None:
+        try:
+            unknown_class = int(args.open_set_unknown_class)
+        except ValueError:
+            names = academic.EMOTIONS_6[:cfg.model.num_labels]
+            if args.open_set_unknown_class not in names:
+                p.error(f"--open_set_unknown_class must be an index < "
+                        f"{cfg.model.num_labels} or one of {names}")
+            unknown_class = names.index(args.open_set_unknown_class)
+        if not 0 <= unknown_class < cfg.model.num_labels:
+            p.error(f"--open_set_unknown_class index out of range "
+                    f"(num_labels={cfg.model.num_labels})")
     academic.run_academic_evaluation(
         params, cfg, args.manifest, batch_size=args.batch_size,
         output_dir=args.output_dir, run_benchmark=not args.no_benchmark,
@@ -66,7 +84,8 @@ def main():
         few_shot_epochs=args.few_shot_epochs,
         full_ft_f1=args.full_ft_f1,
         robustness_snr_levels=args.snr_levels,
-        zero_shot_languages=tuple(args.zero_shot_langs or ()))
+        zero_shot_languages=tuple(args.zero_shot_langs or ()),
+        open_set_unknown_class=unknown_class)
 
 
 if __name__ == "__main__":

@@ -20,6 +20,12 @@ def main():
     p.add_argument("--out_dir", required=True)
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--audio_seconds", type=float, default=4.0)
+    p.add_argument("--buckets", default=None,
+                   help="multi-bucket export: comma-separated "
+                        "audio_seconds:batch_size pairs (e.g. "
+                        "'4:32,8:16,30:8') — one artifact per bucket under "
+                        "out_dir plus an index.json; overrides "
+                        "--batch_size/--audio_seconds")
     p.add_argument("--text_tokens", type=int, default=32)
     p.add_argument("--no_dsp", action="store_true",
                    help="expect precomputed quality/cond feats instead of "
@@ -46,12 +52,27 @@ def main():
         from multilingual_multimodal_speech_emotion_recognition_tpu.ops import quant
         params = quant.quantize_backbones(params)
 
-    art = ex.export_forward(
-        params, cfg.model, args.out_dir, batch_size=args.batch_size,
-        audio_seconds=args.audio_seconds, text_tokens=args.text_tokens,
-        with_dsp=not args.no_dsp, use_openmax=not args.no_openmax,
-        config_json=cfg_json)
-    print(f"Exported {args.checkpoint} (epoch {meta.get('epoch')}) -> {art}")
+    if args.buckets:
+        try:
+            buckets = [(float(s), int(b)) for s, b in
+                       (pair.split(":") for pair in args.buckets.split(","))]
+        except ValueError:
+            p.error("--buckets must look like '4:32,8:16' "
+                    "(audio_seconds:batch_size pairs)")
+        art = ex.export_buckets(
+            params, cfg.model, args.out_dir, buckets=buckets,
+            text_tokens=args.text_tokens, with_dsp=not args.no_dsp,
+            use_openmax=not args.no_openmax, config_json=cfg_json)
+        print(f"Exported {args.checkpoint} (epoch {meta.get('epoch')}) -> "
+              f"{art} ({len(buckets)} buckets)")
+    else:
+        art = ex.export_forward(
+            params, cfg.model, args.out_dir, batch_size=args.batch_size,
+            audio_seconds=args.audio_seconds, text_tokens=args.text_tokens,
+            with_dsp=not args.no_dsp, use_openmax=not args.no_openmax,
+            config_json=cfg_json)
+        print(f"Exported {args.checkpoint} (epoch {meta.get('epoch')}) -> "
+              f"{art}")
 
 
 if __name__ == "__main__":

@@ -54,15 +54,162 @@ from . import zero_shot as zs
 EMOTIONS_6 = ["angry", "happy", "sad", "neutral", "disgust", "fear"]
 
 
-class _ListLoader:
-    """Loader facade over pre-materialized host batches (decode audio once,
-    reuse across the baseline pass, SNR slicing, and the robustness sweeps)."""
+class _BatchCache:
+    """Decode-once, disk-backed batch cache for the multi-pass battery.
 
-    def __init__(self, batches):
-        self.batches = list(batches)
+    The battery re-reads the same batches across the baseline pass, the SNR
+    slicing pass, and every (noise_type x SNR) robustness sweep. Fully
+    materializing them in RAM (the round-2 `_ListLoader`) is multi-GB at the
+    reference's 5,205-clip train manifest with 30 s buckets; here the first
+    pass streams each batch to an .npz in a scratch directory and later
+    passes stream them back one at a time, so host residency stays O(one
+    batch) regardless of manifest size. `close()` removes the scratch files
+    (run_academic_evaluation does this on exit)."""
+
+    def __init__(self, loader, cache_dir: Optional[str] = None):
+        import tempfile
+        self._loader = loader
+        self._own_dir = cache_dir is None
+        self._dir = Path(cache_dir or tempfile.mkdtemp(prefix="ser_acad_"))
+        self._dir.mkdir(parents=True, exist_ok=True)
+        self._files = None
 
     def epoch(self, _=0):
-        return iter(self.batches)
+        if self._files is None:
+            return self._build()
+        return self._replay()
+
+    def _build(self):
+        files = []
+        for i, b in enumerate(self._loader.epoch(0)):
+            f = self._dir / f"batch_{i:05d}.npz"
+            np.savez(f, **b)
+            files.append(f)
+            yield b
+        self._files = files  # only mark complete after a full pass
+
+    def _replay(self):
+        for f in self._files:
+            with np.load(f, allow_pickle=False) as z:
+                yield {k: z[k] for k in z.files}
+
+    @property
+    def batches(self):
+        """Re-iterable view (each iteration is a fresh disk stream)."""
+        return _Reiterable(self)
+
+    def close(self):
+        import shutil
+        if self._own_dir:
+            shutil.rmtree(self._dir, ignore_errors=True)
+
+
+class _Reiterable:
+    def __init__(self, cache):
+        self._cache = cache
+
+    def __iter__(self):
+        return self._cache.epoch(0)
+
+
+def _open_set_protocol(params, cfg: Config, loader, mesh,
+                       unknown_class: int) -> Dict:
+    """Leave-one-class-out open-set recognition protocol.
+
+    The reference builds the machinery (OpenSetEvaluator OSCR/AUROC/AUPR/
+    FPR@95, enhanced_evaluation.py:199-296; OpenMax Weibull calibration,
+    classifier.py:240-305; energy scores, utils.py:12-14) but never
+    constructs unknowns to run it on. This driver does: samples whose true
+    label == `unknown_class` are treated as open-set unknowns, and the
+    classifier is evaluated as if it did not know that class — its logit
+    column is dropped before prediction/confidence, and the Weibull model is
+    refitted on the remaining classes' penultimate features (fitting on the
+    eval manifest's known-class samples; a self-contained protocol choice,
+    documented here).
+
+    Three unknown-detection scores are reported, each with AUROC / AUPR /
+    FPR@95TPR (known = positive class):
+      * msp     — max softmax probability over the known classes (also
+                  drives the OSCR battery via enhanced_pipeline)
+      * energy  — logsumexp of known-class logits (−energy_score)
+      * openmax — 1 − Weibull unknown probability
+    """
+    from ..ops import openmax as jopenmax
+    from ..train import train_step as ts
+    from . import enhanced_pipeline as ep
+
+    step = ts.make_eval_step(cfg.model, use_openmax=False)
+    lg, ft, lb = [], [], []
+    for batch in loader.epoch(0):
+        dev = mesh_lib.shard_batch(
+            {k: v for k, v in batch.items()
+             if k not in pipeline_mod.EVAL_HOST_KEYS}, mesh)
+        logits, feats, _ = step(params, dev)
+        keep = batch["example_mask"] > 0
+        lg.append(np.asarray(logits, np.float64)[keep])
+        ft.append(np.asarray(feats, np.float64)[keep])
+        lb.append(batch["labels"][keep])
+    C = cfg.model.num_labels
+    logits = np.concatenate(lg) if lg else np.zeros((0, C))
+    feats = np.concatenate(ft) if ft else np.zeros((0, 1))
+    labels = np.concatenate(lb) if lb else np.zeros((0,), np.int64)
+
+    known_classes = np.array([c for c in range(C) if c != unknown_class])
+    unknown_mask = labels == unknown_class
+
+    # the "doesn't-know-class-k" view: drop its logit column
+    k_logits = logits[:, known_classes]
+    preds = known_classes[k_logits.argmax(axis=1)]
+    e = np.exp(k_logits - k_logits.max(axis=1, keepdims=True))
+    probs = e / e.sum(axis=1, keepdims=True)
+    msp = probs.max(axis=1)
+    energy_known = -np.asarray(
+        jopenmax.energy_score(jnp.asarray(k_logits)))  # logsumexp: high=known
+
+    # refit Weibull without the unknown class (rows restricted to knowns so
+    # the unfit default row cannot dominate the CDF max)
+    remap = np.full(C, -1)
+    remap[known_classes] = np.arange(len(known_classes))
+    fit_feats = feats[~unknown_mask]
+    fit_labels = remap[labels[~unknown_mask]]
+    weibull = jopenmax.fit_weibull(
+        jnp.asarray(fit_feats, jnp.float32),
+        jnp.asarray(fit_labels), len(known_classes))
+    unknown_prob = np.asarray(jopenmax.weibull_unknown_prob(
+        weibull, jnp.asarray(feats, jnp.float32)), np.float64)
+    openmax_known = 1.0 - unknown_prob
+
+    # OSCR battery through the enhanced-pipeline orchestrator (the same
+    # entry the reference's EnhancedEvaluationPipeline exposes)
+    enhanced = ep.run_enhanced_evaluation(
+        y_true=labels, y_pred=preds, confidence_scores=msp,
+        unknown_mask=unknown_mask)
+    om = enhanced["open_set_metrics"]
+
+    scores = {"msp": msp, "energy": energy_known, "openmax": openmax_known}
+    per_score = {}
+    for name, s in scores.items():
+        ks, us = s[~unknown_mask], s[unknown_mask]
+        per_score[name] = {
+            "auroc": osr.auroc(ks, us),
+            "aupr": osr.aupr(ks, us),
+            "fpr_at_95tpr": osr.fpr_at_95_tpr(ks, us),
+        }
+
+    return {
+        "protocol": "leave-one-class-out",
+        "unknown_class": int(unknown_class),
+        "num_known": int((~unknown_mask).sum()),
+        "num_unknown": int(unknown_mask.sum()),
+        "oscr_score": om["oscr_score"],
+        "oscr_optimal_threshold": om["optimal_threshold"],
+        "auroc": om["auroc"],
+        "aupr": om["aupr"],
+        "fpr_at_95tpr": om["fpr_at_95tpr"],
+        "scores": per_score,
+        "known_weighted_f1": M.weighted_f1(
+            preds[~unknown_mask], labels[~unknown_mask], C),
+    }
 
 
 def run_academic_evaluation(params, cfg: Config, manifest: str, *,
@@ -82,13 +229,38 @@ def run_academic_evaluation(params, cfg: Config, manifest: str, *,
                                                              "babble", "music"),
                             code_mix_languages: tuple = ("hi", "bn"),
                             zero_shot_languages: tuple = (),
+                            open_set_unknown_class: Optional[int] = None,
                             verbose: bool = True) -> Dict:
     tok = tokenizer or get_tokenizer(vocab_size=cfg.model.text.vocab_size)
     mesh = mesh or mesh_lib.make_mesh()
     ds = SERDataset(manifest, cfg.data)
-    loader = _ListLoader(BucketedLoader(ds, batch_size=batch_size,
-                                        tokenizer=tok, shuffle=False).epoch(0))
+    loader = _BatchCache(BucketedLoader(ds, batch_size=batch_size,
+                                        tokenizer=tok, shuffle=False))
+    try:
+        return _run_academic_evaluation(
+            params, cfg, ds, loader, tok, mesh,
+            asr_hypotheses=asr_hypotheses, output_dir=output_dir,
+            run_benchmark=run_benchmark, run_few_shot=run_few_shot,
+            run_robustness=run_robustness, few_shot_shots=few_shot_shots,
+            few_shot_epochs=few_shot_epochs, full_ft_f1=full_ft_f1,
+            robustness_snr_levels=robustness_snr_levels,
+            robustness_noise_types=robustness_noise_types,
+            code_mix_languages=code_mix_languages,
+            zero_shot_languages=zero_shot_languages,
+            open_set_unknown_class=open_set_unknown_class,
+            batch_size=batch_size, verbose=verbose)
+    finally:
+        loader.close()
 
+
+def _run_academic_evaluation(params, cfg: Config, ds, loader, tok, mesh, *,
+                             asr_hypotheses, output_dir, run_benchmark,
+                             run_few_shot, run_robustness, few_shot_shots,
+                             few_shot_epochs, full_ft_f1,
+                             robustness_snr_levels, robustness_noise_types,
+                             code_mix_languages, zero_shot_languages,
+                             open_set_unknown_class, batch_size,
+                             verbose) -> Dict:
     # 1. baseline pass (single forward, logits + probs)
     out = ev.collect_logits(params, cfg, loader, mesh, use_openmax=True)
     logits, labels = out["logits"], out["labels"]
@@ -137,6 +309,11 @@ def run_academic_evaluation(params, cfg: Config, manifest: str, *,
         if k in ("risk_coverage_auc", "optimal_threshold", "optimal_coverage",
                  "optimal_risk")}
 
+    # open-set recognition protocol: leave-one-class-out unknowns
+    if open_set_unknown_class is not None:
+        results["open_set"] = _open_set_protocol(
+            params, cfg, loader, mesh, int(open_set_unknown_class))
+
     # 5. inference benchmark on the loaded model
     if run_benchmark:
         from . import benchmark as bench
@@ -178,14 +355,18 @@ def run_academic_evaluation(params, cfg: Config, manifest: str, *,
 
     def _predict_with_texts(new_texts):
         """Re-run the model over the same audio with substituted texts
-        (aligned with the collected `texts`/`idx` order)."""
+        (aligned with the collected `texts`/`idx` order). Streams straight
+        from the batch cache — no full-manifest materialization."""
         by_idx = {int(i): t for i, t in zip(idx, new_texts)}
-        rebatched = []
-        for batch in loader.batches:
-            row_texts = [by_idx.get(int(i), "") for i in batch["indices"]]
-            ids, tmask = tok.encode_batch(row_texts, cfg.data.max_text_tokens)
-            rebatched.append({**batch, "text_ids": ids, "text_mask": tmask})
-        preds_m, probs_m, _ = _forward_batches(rebatched)
+
+        def rebatched():
+            for batch in loader.batches:
+                row_texts = [by_idx.get(int(i), "") for i in batch["indices"]]
+                ids, tmask = tok.encode_batch(row_texts,
+                                              cfg.data.max_text_tokens)
+                yield {**batch, "text_ids": ids, "text_mask": tmask}
+
+        preds_m, probs_m, _ = _forward_batches(rebatched())
         return {"preds": preds_m, "probs": probs_m}
 
     def _forward_batches(batches):
@@ -346,6 +527,21 @@ def generate_report(results: Dict, class_names) -> str:
                      f"(optimal: thr {rc['optimal_threshold']:.2f} "
                      f"cov {rc['optimal_coverage']:.2f} "
                      f"risk {rc['optimal_risk']:.3f})")
+    os_res = results.get("open_set")
+    if os_res:
+        uc = os_res["unknown_class"]
+        name = class_names[uc] if uc < len(class_names) else str(uc)
+        lines.append("")
+        lines.append(f"Open-set recognition (leave-one-class-out, unknown = "
+                     f"'{name}', {os_res['num_unknown']} unknown / "
+                     f"{os_res['num_known']} known):")
+        lines.append(f"  OSCR {os_res['oscr_score']:.4f} "
+                     f"(thr {os_res['oscr_optimal_threshold']:.2f})  "
+                     f"known-class wF1 {os_res['known_weighted_f1']:.4f}")
+        lines.append(f"  {'score':>8} {'AUROC':>7} {'AUPR':>7} {'FPR@95':>7}")
+        for sname, s in os_res["scores"].items():
+            lines.append(f"  {sname:>8} {s['auroc']:7.4f} {s['aupr']:7.4f} "
+                         f"{s['fpr_at_95tpr']:7.4f}")
     if results.get("per_snr"):
         lines.append("")
         lines.append("Per-SNR-band performance:")

@@ -65,6 +65,19 @@ def aupr(known_scores: np.ndarray, unknown_scores: np.ndarray) -> float:
     return float(np.trapezoid(precision, recall))
 
 
+def fpr_at_95_tpr(known_scores: np.ndarray, unknown_scores: np.ndarray) -> float:
+    """FPR at the ROC point whose TPR is closest to 95%
+    (enhanced_evaluation.py:290-296), on the exact score grid — usable for
+    unbounded scores (energy) where compute_oscr's [0,1] threshold sweep
+    does not apply."""
+    if len(known_scores) == 0 or len(unknown_scores) == 0:
+        return 1.0
+    y = np.r_[np.ones(len(known_scores)), np.zeros(len(unknown_scores))]
+    s = np.r_[known_scores, unknown_scores]
+    fpr, tpr, _ = roc_curve_np(y, s)
+    return float(fpr[int(np.argmin(np.abs(tpr - 0.95)))])
+
+
 def compute_oscr(confidence_scores: np.ndarray, y_true: np.ndarray,
                  y_pred: np.ndarray, thresholds: np.ndarray | None = None
                  ) -> Dict:

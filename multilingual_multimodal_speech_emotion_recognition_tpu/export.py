@@ -33,8 +33,46 @@ OUTPUTS = ("logits", "uncertainty", "features")
 def _flatten_params(params) -> Dict[str, np.ndarray]:
     import jax
     flat, _ = jax.tree_util.tree_flatten_with_path(params)
-    return {jax.tree_util.keystr(path): np.asarray(leaf)
-            for path, leaf in flat}
+    out = {}
+    for path, leaf in flat:
+        key = jax.tree_util.keystr(path)
+        if key in out:
+            raise ValueError(f"duplicate param key path {key!r}")
+        out[key] = np.asarray(leaf)
+    return out
+
+
+def _skeletonize(node) -> Dict:
+    """Explicit JSON skeleton of the param pytree: dict/list structure with
+    npz key names at the leaves. Persisted in spec.json so ServingModel can
+    rebuild the tree by walking it — no string-parsing of keystr output
+    (which silently mis-parsed any future key containing brackets/quotes)."""
+    import jax
+
+    def walk(n, path):
+        if isinstance(n, dict):
+            return {"kind": "dict",
+                    "items": {str(k): walk(v, path + (jax.tree_util.DictKey(k),))
+                              for k, v in n.items()}}
+        if isinstance(n, (list, tuple)):
+            return {"kind": "list" if isinstance(n, list) else "tuple",
+                    "items": [walk(v, path + (jax.tree_util.SequenceKey(i),))
+                              for i, v in enumerate(n)]}
+        return {"kind": "leaf", "key": jax.tree_util.keystr(path)}
+
+    return walk(node, ())
+
+
+def _rebuild_from_skeleton(skel: Dict, arrays: Dict[str, np.ndarray]):
+    import jax.numpy as jnp
+    kind = skel["kind"]
+    if kind == "dict":
+        return {k: _rebuild_from_skeleton(v, arrays)
+                for k, v in skel["items"].items()}
+    if kind in ("list", "tuple"):
+        seq = [_rebuild_from_skeleton(v, arrays) for v in skel["items"]]
+        return seq if kind == "list" else tuple(seq)
+    return jnp.asarray(arrays[skel["key"]])
 
 
 def _batch_spec(batch_size: int, audio_samples: int, text_tokens: int,
@@ -97,7 +135,37 @@ def export_forward(params, cfg: ModelConfig, out_dir: str | Path, *,
         "use_openmax": use_openmax,
         "platforms": list(exp.platforms),
         "config_json": config_json,
+        "params_tree": _skeletonize(params),
     }))
+    return out
+
+
+def export_buckets(params, cfg: ModelConfig, out_dir: str | Path, *,
+                   buckets, text_tokens: int = 32, sample_rate: int = 16000,
+                   with_dsp: bool = True, use_openmax: bool = True,
+                   config_json: Optional[str] = None) -> Path:
+    """One CLI call -> one artifact per audio bucket (the serving-side
+    mirror of the data pipeline's fixed-shape bucketing). `buckets` is a
+    sequence of (audio_seconds, batch_size) pairs; artifacts land in
+    `<out_dir>/b<sec>s_bs<batch>/` with a top-level `index.json` a router
+    can use to pick the bucket for an incoming clip length."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    index = []
+    for audio_seconds, batch_size in buckets:
+        name = f"b{audio_seconds:g}s_bs{batch_size}"
+        export_forward(params, cfg, out / name, batch_size=batch_size,
+                       audio_seconds=float(audio_seconds),
+                       text_tokens=text_tokens, sample_rate=sample_rate,
+                       with_dsp=with_dsp, use_openmax=use_openmax,
+                       config_json=config_json)
+        index.append({"dir": name, "audio_seconds": float(audio_seconds),
+                      "audio_samples": int(audio_seconds * sample_rate),
+                      "batch_size": int(batch_size)})
+    index.sort(key=lambda e: e["audio_seconds"])
+    (out / "index.json").write_text(json.dumps({
+        "buckets": index, "text_tokens": text_tokens,
+        "sample_rate": sample_rate}, indent=2))
     return out
 
 
@@ -117,20 +185,29 @@ class ServingModel:
 
     def _params_in_order(self):
         # jax.export flattens (params, batch) by tree order; rebuild the
-        # params pytree from path-keyed arrays lazily on first call
+        # params pytree lazily on first call by walking the explicit
+        # skeleton persisted in spec.json (exact structure, no parsing)
         if self._params_dev is None:
-            import jax
-            tree = {}
-            for key, arr in self._flat_params.items():
-                # keystr like "['audio_backbone']['convs'][0]['kernel']"
-                parts = [p.strip("'\"") for p in
-                         key.replace("]", "").split("[") if p]
-                node = tree
-                for p in parts[:-1]:
-                    node = node.setdefault(p, {})
-                node[parts[-1]] = jax.numpy.asarray(arr)
-            self._params_dev = _listify(tree)
+            skel = self.spec.get("params_tree")
+            if skel is not None:
+                self._params_dev = _rebuild_from_skeleton(skel,
+                                                          self._flat_params)
+            else:  # pre-round-3 artifact: legacy keystr parsing
+                self._params_dev = self._params_from_keystrs()
         return self._params_dev
+
+    def _params_from_keystrs(self):
+        import jax
+        tree = {}
+        for key, arr in self._flat_params.items():
+            # keystr like "['audio_backbone']['convs'][0]['kernel']"
+            parts = [p.strip("'\"") for p in
+                     key.replace("]", "").split("[") if p]
+            node = tree
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = jax.numpy.asarray(arr)
+        return _listify(tree)
 
     def predict(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         import jax.numpy as jnp

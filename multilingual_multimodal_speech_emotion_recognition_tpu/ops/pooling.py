@@ -5,8 +5,12 @@ Parity target: AttentiveStatsPooling in the reference
 Linear(D,H)->tanh->Linear(H,1) MLP, masked softmax over time, then the
 attention-weighted mean and std concatenated to [B, 2D].
 
-Built as one fused XLA computation over the padded batch; a Pallas kernel
-variant lives in ops/pallas/pooling_kernel.py for the hot eval path.
+Built as one fused XLA computation over the padded batch. A Pallas
+streaming-kernel variant exists in ops/pallas_kernels.py
+(attentive_stats_pooling_pallas) but is deliberately NOT wired here: at
+flagship shapes the op is launch-bound and XLA's fusion wins (measured
+numbers in the kernel's docstring) — keep this path on XLA unless that
+measurement changes.
 """
 
 from __future__ import annotations

@@ -347,3 +347,60 @@ def test_hum_notch_composes_both_frequencies_in_one_pass():
         want = jnp.where(flags[:, i][:, None], filt, want)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want * mask),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_worst_case_audio_fires_all_dsp_branches():
+    """bench.py's worst-case bracket is only honest if the crafted audio
+    actually (a) fires every heavy lax.cond-gated conditioning branch and
+    (b) survives the quality gates' reject rule (a rejected clip is zeroed
+    BEFORE conditioning, which would silently skip the branches)."""
+    from multilingual_multimodal_speech_emotion_recognition_tpu.eval import (
+        benchmark as bm)
+
+    rng = np.random.default_rng(5)
+    B, T = 4, 4 * 16000
+    wave = bm.worst_case_dsp_audio(rng, B, T)
+    mask = np.ones((B, T), np.float32)
+
+    gated, qstats = qg.quality_gates(
+        jnp.asarray(wave), jnp.asarray(mask),
+        lid_entropy=jnp.ones((B,)), lid_confidence=jnp.full((B,), 0.5))
+    # decision may be 'uncertain' but must never be 'reject' (zeroing)
+    assert not np.any(np.asarray(qstats.decision) == qg.REJECT), (
+        np.asarray(qstats.decision))
+    assert np.abs(np.asarray(gated)).max() > 0.0
+
+    _, stats = cond.condition_audio(gated, jnp.asarray(mask))
+    even = np.arange(B) % 2 == 0  # hum/HPF specialists; odd = denoise
+    assert np.asarray(stats.hum_filtered)[even].all(), "hum branch dark"
+    assert np.asarray(stats.hpf_applied)[even].all(), "HPF branch dark"
+    assert np.asarray(stats.denoise_applied)[~even].all(), "denoise dark"
+    assert np.asarray(stats.dereverb_applied).all(), "dereverb dark"
+    # every heavy lax.cond predicate (batch-level any) therefore fires
+    for flag in ("hum_filtered", "hpf_applied", "denoise_applied",
+                 "dereverb_applied"):
+        assert np.asarray(getattr(stats, flag)).any(), flag
+
+
+def test_model_gflops_accounting_sane():
+    """The analytic FLOP model must track known magnitudes: ~63 GFLOP/utt
+    at flagship base scale / 4 s (the round-2 verdict's independent
+    estimate), dominated by conv extractor + audio transformer."""
+    from multilingual_multimodal_speech_emotion_recognition_tpu.config import (
+        ModelConfig)
+    from multilingual_multimodal_speech_emotion_recognition_tpu.eval import (
+        benchmark as bm)
+
+    fl = bm.model_gflops_per_utt(ModelConfig(), audio_seconds=4.0,
+                                 text_tokens=32)
+    assert 50.0 < fl["total_gflops"] < 80.0, fl
+    assert fl["audio_frames"] == 199.0
+    assert fl["conv_extractor_gflops"] > 15.0
+    assert fl["audio_transformer_gflops"] > 30.0
+    parts = (fl["conv_extractor_gflops"] + fl["audio_transformer_gflops"]
+             + fl["text_transformer_gflops"] + fl["heads_gflops"])
+    np.testing.assert_allclose(parts, fl["total_gflops"], rtol=1e-6)
+    # scales ~linearly in audio length (attention superlinearity is small)
+    fl8 = bm.model_gflops_per_utt(ModelConfig(), audio_seconds=8.0,
+                                  text_tokens=32)
+    assert 1.8 < fl8["total_gflops"] / fl["total_gflops"] < 2.3
