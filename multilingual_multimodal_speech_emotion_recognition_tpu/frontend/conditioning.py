@@ -71,7 +71,14 @@ def _zero_phase_apply(wave: Array, mag_sq_response: Array | np.ndarray) -> Array
 
 def _notch_mag_sq(T: int, sample_rate: int, f0: float, Q: float) -> np.ndarray:
     """|H(f)|² of scipy.signal.iirnotch(f0, Q) on the length-T rfft grid."""
-    freqs = np.fft.rfftfreq(T, d=1.0 / sample_rate)
+    return _notch_mag_sq_freqs(np.fft.rfftfreq(T, d=1.0 / sample_rate),
+                               sample_rate, f0, Q)
+
+
+def _notch_mag_sq_freqs(freqs: np.ndarray, sample_rate: int, f0: float,
+                        Q: float) -> np.ndarray:
+    """Same response evaluated on an arbitrary frequency grid (used to
+    derive the post-notch Welch PSD without a second Welch pass)."""
     w = 2 * np.pi * freqs / sample_rate
     w0 = 2 * np.pi * f0 / sample_rate
     bw = w0 / Q
@@ -96,17 +103,21 @@ def _butter_hp_mag_sq(T: int, sample_rate: int, cutoff: Array,
     return 1.0 / (1.0 + ratio ** (2 * order))
 
 
-def detect_hum(wave: Array, mask: Array, *, sample_rate: int):
-    """Per-hum-frequency detection flags [B, len(HUM_FREQS)]
-    (audio_conditioning.py:66-82: Welch peak > mean + 2σ of the PSD)."""
-    freqs, psd = sp.welch_psd(wave, mask, sample_rate=sample_rate,
-                              nperseg=2048)
+def _detect_hum_from_psd(freqs: np.ndarray, psd: Array) -> Array:
     thr = psd.mean(axis=-1) + 2.0 * psd.std(axis=-1)            # [B]
     flags = []
     for f0 in HUM_FREQS:
         idx = int(np.argmin(np.abs(freqs - f0)))
         flags.append(psd[:, idx] > thr)
     return jnp.stack(flags, axis=-1)
+
+
+def detect_hum(wave: Array, mask: Array, *, sample_rate: int):
+    """Per-hum-frequency detection flags [B, len(HUM_FREQS)]
+    (audio_conditioning.py:66-82: Welch peak > mean + 2σ of the PSD)."""
+    freqs, psd = sp.welch_psd(wave, mask, sample_rate=sample_rate,
+                              nperseg=2048)
+    return _detect_hum_from_psd(freqs, psd)
 
 
 def hum_notch(wave: Array, mask: Array, *, sample_rate: int):
@@ -131,10 +142,7 @@ def hum_notch(wave: Array, mask: Array, *, sample_rate: int):
     return out * mask, flags.any(axis=-1)
 
 
-def hpf_decision(wave: Array, mask: Array, *, sample_rate: int):
-    """(should_apply [B], cutoff_hz [B]) — audio_conditioning.py:105-134."""
-    freqs, psd = sp.welch_psd(wave, mask, sample_rate=sample_rate,
-                              nperseg=2048)
+def _hpf_decision_from_psd(freqs: np.ndarray, psd: Array):
     low = jnp.asarray(freqs < 200.0)
     low_ratio = (psd * low).sum(-1) / jnp.maximum(psd.sum(-1), 1e-20)
     should = low_ratio > 0.2
@@ -144,6 +152,13 @@ def hpf_decision(wave: Array, mask: Array, *, sample_rate: int):
     cutoff = jnp.clip(jnp.asarray(freqs)[cut_idx], 80.0, 100.0)
     cutoff = jnp.where(should, cutoff, 80.0)
     return should, cutoff
+
+
+def hpf_decision(wave: Array, mask: Array, *, sample_rate: int):
+    """(should_apply [B], cutoff_hz [B]) — audio_conditioning.py:105-134."""
+    freqs, psd = sp.welch_psd(wave, mask, sample_rate=sample_rate,
+                              nperseg=2048)
+    return _hpf_decision_from_psd(freqs, psd)
 
 
 def apply_hpf(wave: Array, mask: Array, should: Array, cutoff: Array,
@@ -316,10 +331,41 @@ def condition_audio(wave: Array, mask: Array, *,
     (conditioned_wave, stats); stats.features is the raw 12-dim vector of
     audio_conditioning.py:562-579 (its learned 12→32→12 projection lives in
     the model parameter tree)."""
-    x, hum_filtered = hum_notch(wave, mask, sample_rate=sample_rate)
+    # Fused notch+HPF stage: one Welch pass and at most one full-length fft
+    # round trip. The sequential formulation (hum_notch then hpf_decision
+    # on the filtered signal then apply_hpf) costs a second Welch pass and
+    # a second round trip; since the notch is the exact steady-state
+    # |H(f)|² response, the post-notch PSD the HPF decision needs is just
+    # psd · |H_notch|² on the Welch grid — derived, not re-measured (the
+    # only divergence from re-measuring is the notch's window leakage,
+    # second-order for a Q=30 line). The standalone stage functions above
+    # keep the reference's one-stage-at-a-time semantics for direct use.
+    T = wave.shape[-1]
+    freqs_w, psd0 = sp.welch_psd(wave, mask, sample_rate=sample_rate,
+                                 nperseg=2048)
+    hum_flags = _detect_hum_from_psd(freqs_w, psd0)              # [B, H]
+    hum_filtered = hum_flags.any(axis=-1)
 
-    should_hpf, cutoff = hpf_decision(x, mask, sample_rate=sample_rate)
-    x = apply_hpf(x, mask, should_hpf, cutoff, sample_rate=sample_rate)
+    notch_w = jnp.ones_like(psd0)
+    for i, f0 in enumerate(HUM_FREQS):
+        r = jnp.asarray(_notch_mag_sq_freqs(freqs_w, sample_rate, f0,
+                                            NOTCH_Q))
+        notch_w = notch_w * jnp.where(hum_flags[:, i][:, None],
+                                      r[None, :], 1.0)
+    should_hpf, cutoff = _hpf_decision_from_psd(freqs_w, psd0 * notch_w)
+
+    def _apply_notch_hpf(w):
+        resp = jnp.ones((w.shape[0], T // 2 + 1), jnp.float32)
+        for i, f0 in enumerate(HUM_FREQS):
+            r = jnp.asarray(_notch_mag_sq(T, sample_rate, f0, NOTCH_Q))
+            resp = resp * jnp.where(hum_flags[:, i][:, None],
+                                    r[None, :], 1.0)
+        hp = _butter_hp_mag_sq(T, sample_rate, cutoff)
+        resp = resp * jnp.where(should_hpf[:, None], hp, 1.0)
+        return _zero_phase_apply(w, resp) * mask
+
+    x = jax.lax.cond(hum_flags.any() | should_hpf.any(),
+                     _apply_notch_hpf, lambda w: w, wave) * mask
     cutoff_feat = jnp.where(should_hpf, cutoff, 0.0)
 
     snr_before = estimate_snr_energy(x, mask)

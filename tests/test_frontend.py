@@ -312,9 +312,22 @@ def test_conditioning_gated_branches_fire_and_match_direct():
     assert bool(st.denoise_applied[0])
 
     # replicate the chain with the stage functions called directly (their
-    # own lax.cond gates reduce to the same branch since predicates fire)
+    # own lax.cond gates reduce to the same branch since predicates fire).
+    # condition_audio fuses notch+HPF into one round trip with the HPF
+    # decision taken on the DERIVED post-notch PSD (psd * |H_notch|^2);
+    # reproduce that decision, then apply the same two responses
+    # sequentially — |Hn|^2 then |Hh|^2 composes to the fused product.
+    freqs_w, psd0 = sp.welch_psd(wave, mask, sample_rate=SR, nperseg=2048)
+    hum_flags = cond._detect_hum_from_psd(freqs_w, psd0)
+    notch_w = jnp.ones_like(psd0)
+    for i, f0 in enumerate(cond.HUM_FREQS):
+        r = jnp.asarray(cond._notch_mag_sq_freqs(freqs_w, SR, f0,
+                                                 cond.NOTCH_Q))
+        notch_w = notch_w * jnp.where(hum_flags[:, i][:, None],
+                                      r[None, :], 1.0)
+    should, cutoff = cond._hpf_decision_from_psd(freqs_w, psd0 * notch_w)
+
     x, hum = cond.hum_notch(wave, mask, sample_rate=SR)
-    should, cutoff = cond.hpf_decision(x, mask, sample_rate=SR)
     x = cond.apply_hpf(x, mask, should, cutoff, sample_rate=SR)
     snr_b = cond.estimate_snr_energy(x, mask)
     need = snr_b < cond.SNR_DENOISE_THRESHOLD
