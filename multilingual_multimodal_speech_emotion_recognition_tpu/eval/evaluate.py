@@ -56,27 +56,44 @@ def find_optimal_temperature(val_logits: np.ndarray, val_labels: np.ndarray) -> 
 @functools.lru_cache(maxsize=16)
 def make_tta_eval_step(cfg: Config, num_tta: int = 5, use_openmax: bool = True):
     """One jitted forward over the [V*B] expanded batch, logits meaned
-    over views."""
+    over views.
+
+    The text inputs are identical across the V augmented views (TTA only
+    perturbs the waveform — eval.py:23-41), and XLM-R is deterministic at
+    eval, so the text encoder runs ONCE at [B] and its encoded sequence is
+    tiled to [V*B] for the cross-modal heads. The reference re-encodes the
+    text per view inside its per-clip TTA loop (eval.py:179-190); skipping
+    the V-1 redundant XLM-R forwards is logit-identical and saves ~4× the
+    text-encoder cost in this serving mode."""
 
     def step(params, batch, rng):
-        wave, mask = audio_dsp.tta_expand(rng, batch["audio"],
-                                          batch["audio_mask"], num_tta=num_tta)
         V = num_tta
-        tile = lambda x: jnp.concatenate([x] * V, axis=0)
-        big = {
-            "audio": wave, "audio_mask": mask,
-            "text_ids": tile(batch["text_ids"]),
-            "text_mask": tile(batch["text_mask"]),
-        }
-        for k in ("quality_feats", "cond_feats", "asr_feats",
-                  "lid_entropy", "lid_conf"):
-            if k in batch:
-                big[k] = tile(batch[k])
-        out = mdl.model_forward(params, cfg.model, big, deterministic=True,
-                                use_openmax=use_openmax)
         B = batch["audio"].shape[0]
-        logits = out.logits.reshape(V, B, -1).mean(axis=0)
-        return logits
+        tile = lambda x: jnp.concatenate([x] * V, axis=0)
+        mcfg = cfg.model
+        dtype = jnp.bfloat16 if mcfg.compute_dtype == "bfloat16" else jnp.float32
+        p = mdl.cast_floating(params, dtype) if dtype != jnp.float32 else params
+
+        wave, mask = audio_dsp.tta_expand(rng, batch["audio"],
+                                          batch["audio_mask"], num_tta=V)
+        fbatch = {"audio": wave, "audio_mask": mask}
+        for k in ("quality_feats", "cond_feats", "lid_entropy", "lid_conf"):
+            if k in batch:
+                fbatch[k] = tile(batch[k])
+        wave, quality_feats, cond_feats = mdl.frontend_features(mcfg, fbatch)
+
+        a_seq, a_mask = mdl.encode_audio(
+            p, mcfg, wave.astype(dtype), mask,
+            quality_feats=quality_feats, cond_feats=cond_feats,
+            deterministic=True)
+        t_seq, t_mask = mdl.encode_text(
+            p, mcfg, batch["text_ids"], batch["text_mask"],
+            asr_feats=batch.get("asr_feats"), deterministic=True)
+
+        out = mdl.model_heads(params, mcfg, a_seq, a_mask,
+                              tile(t_seq), tile(t_mask),
+                              deterministic=True, use_openmax=use_openmax)
+        return out.logits.reshape(V, B, -1).mean(axis=0)
 
     return jax.jit(step)
 

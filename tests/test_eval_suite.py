@@ -263,3 +263,48 @@ def test_benchmark_fn_shape():
     assert res["scaling"]["best_batch_size"] in (1, 2)
     info = bench.count_params({"w": np.zeros((3, 4), np.float32)})
     assert info["total_params"] == 12
+
+
+# ----------------------------------------------------- TTA fast path parity
+
+def test_tta_step_text_encode_once_matches_naive_tiling():
+    """make_tta_eval_step encodes the text ONCE and tiles the encoded
+    sequence (text inputs are identical across TTA views — eval.py:23-41);
+    the logits must match tiling the raw text ids through model_forward."""
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_model import tiny_config, tiny_batch
+
+    from multilingual_multimodal_speech_emotion_recognition_tpu.config import (
+        Config)
+    from multilingual_multimodal_speech_emotion_recognition_tpu.eval import (
+        evaluate as ev)
+    from multilingual_multimodal_speech_emotion_recognition_tpu.models import (
+        model as mdl)
+    from multilingual_multimodal_speech_emotion_recognition_tpu.ops import (
+        audio_dsp)
+
+    mcfg = tiny_config()
+    cfg = Config(model=mcfg)
+    params = mdl.init_model(jax.random.key(0), mcfg)
+    batch = tiny_batch()
+    rng = jax.random.key(7)
+    V = 3
+
+    fast = ev.make_tta_eval_step(cfg, num_tta=V, use_openmax=False)
+    got = np.asarray(fast(params, batch, rng))
+
+    wave, mask = audio_dsp.tta_expand(rng, batch["audio"],
+                                      batch["audio_mask"], num_tta=V)
+    tile = lambda x: jnp.concatenate([x] * V, axis=0)
+    big = {"audio": wave, "audio_mask": mask,
+           "text_ids": tile(batch["text_ids"]),
+           "text_mask": tile(batch["text_mask"]),
+           "quality_feats": tile(batch["quality_feats"]),
+           "cond_feats": tile(batch["cond_feats"])}
+    out = mdl.model_forward(params, mcfg, big, deterministic=True,
+                            use_openmax=False)
+    B = batch["audio"].shape[0]
+    want = np.asarray(out.logits.reshape(V, B, -1).mean(axis=0))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
