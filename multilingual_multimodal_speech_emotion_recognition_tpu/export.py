@@ -135,6 +135,10 @@ def export_forward(params, cfg: ModelConfig, out_dir: str | Path, *,
         "use_openmax": use_openmax,
         "platforms": list(exp.platforms),
         "config_json": config_json,
+        # recorded so serving can fail fast on a tokenizer/artifact
+        # mismatch (OOB token ids gather NaN embeddings under jit)
+        "text_vocab_size": int(cfg.text.vocab_size),
+        "num_labels": int(cfg.num_labels),
         "params_tree": _skeletonize(params),
     }))
     return out

@@ -1,0 +1,405 @@
+"""Production HTTP serving over AOT export artifacts.
+
+The reference's deployment story ends at an argparse one-shot CLI that
+rebuilds all eight nn.Modules per invocation
+(/root/reference/src/interface.py:423-470). This module is the missing
+serving daemon: a long-lived process that deserializes the StableHLO
+artifact(s) produced by `cli/export.py` once, then answers HTTP requests
+with zero tracing, zero model code, and zero transformers imports on the
+hot path.
+
+TPU-serving shape discipline: the exported programs are fixed-shape
+(one per audio bucket, mirroring the data pipeline's bucketing), so the
+server routes each request to the smallest bucket that fits, micro-batches
+concurrent requests up to the bucket's batch size (or a deadline), and
+pads the tail — every device step runs the same compiled program.
+
+Layers:
+  ArtifactRouter  single artifact dir OR bucketed dir with index.json ->
+                  lazily-loaded ServingModel per bucket + length routing
+  BatchingServer  tokenizer + host LID + per-bucket micro-batch queues +
+                  worker threads; `submit()` blocks until the answer
+  serve()         stdlib ThreadingHTTPServer JSON API:
+                    POST /predict   {"audio": [f32...] | "audio_b64":
+                                     base64 int16 PCM, "sample_rate": N,
+                                     "text": "..."}
+                    GET  /healthz   buckets, platforms, uptime
+                    GET  /stats     request counts + latency quantiles
+"""
+
+from __future__ import annotations
+
+import base64
+import collections
+import json
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from . import export as ex
+from .frontend import lid as lid_mod
+
+EMOTION_LABELS_6 = ["angry", "happy", "sad", "neutral", "disgust", "fear"]
+
+
+# ------------------------------------------------------------------ routing
+
+@dataclass
+class Bucket:
+    dir: Path
+    audio_samples: int
+    batch_size: int
+    _model: Optional[ex.ServingModel] = None
+    _lock: threading.Lock = field(default_factory=threading.Lock)
+
+    @property
+    def model(self) -> ex.ServingModel:
+        with self._lock:
+            if self._model is None:
+                self._model = ex.ServingModel(self.dir)
+            return self._model
+
+
+class ArtifactRouter:
+    """Length-routes requests over one or many fixed-shape artifacts.
+
+    Accepts either a single-artifact directory (spec.json present) or a
+    bucketed export directory (index.json from `export_buckets`)."""
+
+    def __init__(self, art_dir: str | Path, *, preload: bool = False):
+        art = Path(art_dir)
+        if (art / "index.json").exists():
+            idx = json.loads((art / "index.json").read_text())
+            self.buckets = [Bucket(art / e["dir"], e["audio_samples"],
+                                   e["batch_size"])
+                            for e in idx["buckets"]]
+            self.text_tokens = int(idx["text_tokens"])
+            self.sample_rate = int(idx["sample_rate"])
+        elif (art / "spec.json").exists():
+            spec = json.loads((art / "spec.json").read_text())
+            shapes = spec["batch_spec"]
+            (b, t), _ = shapes["audio"]
+            self.buckets = [Bucket(art, int(t), int(b))]
+            self.text_tokens = int(shapes["text_ids"][0][1])
+            self.sample_rate = 16000
+        else:
+            raise FileNotFoundError(
+                f"{art}: neither index.json (bucketed export) nor "
+                f"spec.json (single artifact) found")
+        self.buckets.sort(key=lambda b: b.audio_samples)
+        if preload:
+            for b in self.buckets:
+                b.model  # noqa: B018 — force deserialization now
+
+    def route(self, num_samples: int) -> Bucket:
+        """Smallest bucket that fits; clips longer than every bucket get
+        the largest (the batch builder trims, like the data pipeline's
+        max-duration cut)."""
+        for b in self.buckets:
+            if num_samples <= b.audio_samples:
+                return b
+        return self.buckets[-1]
+
+    def spec_summary(self) -> List[Dict]:
+        return [{"audio_samples": b.audio_samples,
+                 "audio_seconds": b.audio_samples / self.sample_rate,
+                 "batch_size": b.batch_size,
+                 "loaded": b._model is not None} for b in self.buckets]
+
+
+# ------------------------------------------------------------- micro-batch
+
+@dataclass
+class _Pending:
+    audio: np.ndarray            # f32 [T], already resampled to 16 kHz
+    text: str
+    done: threading.Event = field(default_factory=threading.Event)
+    result: Optional[Dict] = None
+    error: Optional[str] = None
+    t_enqueue: float = field(default_factory=time.perf_counter)
+
+
+class BatchingServer:
+    """Micro-batching inference core (HTTP-free, directly testable).
+
+    One worker thread per bucket: it blocks for the first request, then
+    drains the queue until the bucket's batch size is reached or
+    `max_wait_ms` has passed since the first request, pads the tail rows
+    with silence, runs the fixed-shape program once, and distributes the
+    per-row results. Under load every device step is a full batch; a lone
+    request pays at most max_wait_ms extra latency."""
+
+    def __init__(self, router: ArtifactRouter, *, tokenizer=None,
+                 max_wait_ms: float = 15.0, num_labels: Optional[int] = None,
+                 labels: Optional[Sequence[str]] = None):
+        self.router = router
+        self.max_wait_ms = float(max_wait_ms)
+        if tokenizer is None:
+            from .data.tokenizer import get_tokenizer
+            tokenizer = get_tokenizer()
+        self.tokenizer = tokenizer
+        spec0 = self.router.buckets[0]
+        cfg_json, spec_meta = None, {}
+        try:
+            spec_meta = json.loads((spec0.dir / "spec.json").read_text())
+            cfg_json = spec_meta.get("config_json")
+        except (OSError, ValueError):
+            pass
+        # Fail fast on tokenizer/artifact mismatch: an id beyond the
+        # artifact's embedding table gathers NaN under jit (jnp.take fill
+        # mode), silently poisoning every logit.
+        self.text_vocab = spec_meta.get("text_vocab_size")
+        tok_vocab = getattr(tokenizer, "vocab_size", None)
+        if (self.text_vocab is not None and tok_vocab is not None
+                and int(tok_vocab) > int(self.text_vocab)):
+            raise ValueError(
+                f"tokenizer vocab ({tok_vocab}) exceeds the artifact's "
+                f"embedding table ({self.text_vocab}) — the artifact was "
+                f"exported from a model with a different tokenizer")
+        if labels is not None:
+            self.labels = list(labels)
+        else:
+            n = num_labels or spec_meta.get("num_labels")
+            if n is None and cfg_json:
+                try:
+                    n = json.loads(cfg_json)["model"]["num_labels"]
+                except (ValueError, KeyError, TypeError):
+                    n = None
+            self.labels = EMOTION_LABELS_6[:n] if n else None  # lazy infer
+        self._queues: Dict[int, queue.Queue] = {
+            id(b): queue.Queue() for b in self.router.buckets}
+        self._stop = threading.Event()
+        self._workers = [
+            threading.Thread(target=self._worker, args=(b,), daemon=True,
+                             name=f"ser-batch-{b.audio_samples}")
+            for b in self.router.buckets]
+        self.stats = collections.Counter()
+        self._lat_ms: collections.deque = collections.deque(maxlen=2048)
+        self._batch_fill: collections.deque = collections.deque(maxlen=2048)
+        self._started = time.time()
+        for w in self._workers:
+            w.start()
+
+    # ------------------------------------------------------------- submit
+
+    def submit(self, audio: np.ndarray, text: str = "",
+               timeout: float = 60.0) -> Dict:
+        audio = np.asarray(audio, np.float32).reshape(-1)
+        if audio.size == 0:
+            raise ValueError("empty audio")
+        req = _Pending(audio=audio, text=text or "")
+        bucket = self.router.route(audio.size)
+        self._queues[id(bucket)].put(req)
+        if not req.done.wait(timeout):
+            raise TimeoutError("inference timed out")
+        if req.error is not None:
+            raise RuntimeError(req.error)
+        self.stats["requests"] += 1
+        self._lat_ms.append(
+            (time.perf_counter() - req.t_enqueue) * 1e3)
+        return req.result
+
+    def close(self):
+        self._stop.set()
+        for b in self.router.buckets:
+            self._queues[id(b)].put(None)  # wake workers
+        for w in self._workers:
+            w.join(timeout=5.0)
+
+    # ------------------------------------------------------------- worker
+
+    def _worker(self, bucket: Bucket):
+        q = self._queues[id(bucket)]
+        while not self._stop.is_set():
+            first = q.get()
+            if first is None:
+                return
+            reqs = [first]
+            deadline = time.perf_counter() + self.max_wait_ms / 1e3
+            while len(reqs) < bucket.batch_size:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    r = q.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if r is None:
+                    self._run_batch(bucket, reqs)
+                    return
+                reqs.append(r)
+            self._run_batch(bucket, reqs)
+
+    def _run_batch(self, bucket: Bucket, reqs: List[_Pending]):
+        try:
+            out = self._predict(bucket, reqs)
+            for i, r in enumerate(reqs):
+                r.result = out[i]
+        except Exception as e:  # surface to every waiter, keep serving
+            for r in reqs:
+                r.error = f"{type(e).__name__}: {e}"
+            self.stats["batch_errors"] += 1
+        finally:
+            self.stats["batches"] += 1
+            self._batch_fill.append(len(reqs) / bucket.batch_size)
+            for r in reqs:
+                r.done.set()
+
+    def _predict(self, bucket: Bucket, reqs: List[_Pending]) -> List[Dict]:
+        B, T = bucket.batch_size, bucket.audio_samples
+        audio = np.zeros((B, T), np.float32)
+        mask = np.zeros((B, T), np.float32)
+        for i, r in enumerate(reqs):
+            w = r.audio[:T]                      # trim over-length (route
+            audio[i, :w.size] = w                # already picked max bucket)
+            mask[i, :w.size] = 1.0
+        texts = [r.text for r in reqs] + [""] * (B - len(reqs))
+        ids, tmask = self.tokenizer.encode_batch(texts,
+                                                 self.router.text_tokens)
+        ids = np.asarray(ids)
+        if self.text_vocab is not None and ids.max() >= self.text_vocab:
+            raise ValueError(
+                f"token id {int(ids.max())} out of range for the "
+                f"artifact's vocab ({self.text_vocab}) — tokenizer/"
+                f"artifact mismatch")
+        batch = {"audio": audio, "audio_mask": mask,
+                 "text_ids": np.asarray(ids, np.int32),
+                 "text_mask": np.asarray(tmask, np.float32)}
+        spec = bucket.model.spec["batch_spec"]
+        if "lid_entropy" in spec:                # with_dsp artifact
+            ents, _, confs = lid_mod.batch_lid(texts)
+            batch["lid_entropy"] = np.asarray(ents, np.float32)
+            batch["lid_conf"] = np.asarray(confs, np.float32)
+        else:                                    # no-dsp artifact: neutral
+            batch["quality_feats"] = np.zeros(
+                tuple(spec["quality_feats"][0]), np.float32)
+            batch["cond_feats"] = np.zeros(
+                tuple(spec["cond_feats"][0]), np.float32)
+        out = bucket.model.predict(batch)
+        logits = out["logits"].astype(np.float64)
+        if self.labels is None:
+            self.labels = EMOTION_LABELS_6[:logits.shape[1]]
+        e = np.exp(logits - logits.max(axis=1, keepdims=True))
+        probs = e / e.sum(axis=1, keepdims=True)
+        preds = logits.argmax(axis=1)
+        unc = out["uncertainty"].reshape(-1)
+        results = []
+        for i in range(len(reqs)):
+            p = probs[i]
+            results.append({
+                "emotion": self.labels[preds[i]]
+                if preds[i] < len(self.labels) else str(int(preds[i])),
+                "prediction": int(preds[i]),
+                "probabilities": {
+                    (self.labels[j] if j < len(self.labels) else str(j)):
+                        round(float(p[j]), 6)
+                    for j in range(len(p))},
+                "confidence": round(float(p.max()), 6),
+                "uncertainty": round(float(unc[i]), 6),
+                "bucket_seconds": T / self.router.sample_rate,
+            })
+        return results
+
+    # -------------------------------------------------------------- stats
+
+    def stats_summary(self) -> Dict:
+        lat = np.asarray(self._lat_ms, np.float64)
+        fill = np.asarray(self._batch_fill, np.float64)
+        q = (lambda a, p: float(np.percentile(a, p)) if a.size else None)
+        return {
+            "requests": int(self.stats["requests"]),
+            "batches": int(self.stats["batches"]),
+            "batch_errors": int(self.stats["batch_errors"]),
+            "latency_ms": {"p50": q(lat, 50), "p95": q(lat, 95),
+                           "p99": q(lat, 99)},
+            "mean_batch_fill": float(fill.mean()) if fill.size else None,
+            "uptime_s": round(time.time() - self._started, 1),
+        }
+
+
+# ---------------------------------------------------------------- HTTP API
+
+def _decode_audio(payload: Dict, target_sr: int) -> np.ndarray:
+    if "audio_b64" in payload:
+        raw = base64.b64decode(payload["audio_b64"])
+        wave = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif "audio" in payload:
+        wave = np.asarray(payload["audio"], np.float32)
+    else:
+        raise ValueError("request needs 'audio' (float list) or "
+                         "'audio_b64' (base64 little-endian int16 PCM)")
+    sr = int(payload.get("sample_rate", target_sr))
+    if sr != target_sr:
+        from .data.audio_io import resample_host
+        wave = resample_host(wave, sr, target_sr)
+    return wave
+
+
+def make_http_server(core: BatchingServer, host: str = "127.0.0.1",
+                     port: int = 8080):
+    """Build (but don't start) the ThreadingHTTPServer bound to the core."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet; stats endpoint replaces it
+            pass
+
+        def _send(self, code: int, obj: Dict):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {
+                    "status": "ok",
+                    "buckets": core.router.spec_summary(),
+                    "uptime_s": round(time.time() - core._started, 1)})
+            elif self.path == "/stats":
+                self._send(200, core.stats_summary())
+            else:
+                self._send(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._send(404, {"error": "unknown path"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(n) or b"{}")
+                wave = _decode_audio(payload, core.router.sample_rate)
+                res = core.submit(wave, payload.get("text", ""),
+                                  timeout=float(payload.get("timeout", 60)))
+                self._send(200, res)
+            except (ValueError, KeyError) as e:
+                self._send(400, {"error": str(e)})
+            except TimeoutError as e:
+                self._send(503, {"error": str(e)})
+            except Exception as e:
+                self._send(500, {"error": f"{type(e).__name__}: {e}"})
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve(art_dir: str, *, host: str = "127.0.0.1", port: int = 8080,
+          max_wait_ms: float = 15.0, preload: bool = True,
+          tokenizer=None) -> None:
+    """Blocking entry point used by cli/serve.py."""
+    router = ArtifactRouter(art_dir, preload=preload)
+    core = BatchingServer(router, tokenizer=tokenizer,
+                          max_wait_ms=max_wait_ms)
+    httpd = make_http_server(core, host, port)
+    print(f"serving {art_dir} on http://{host}:{port} "
+          f"({len(router.buckets)} bucket(s))", flush=True)
+    try:
+        httpd.serve_forever()
+    finally:
+        core.close()
