@@ -33,6 +33,10 @@ def main():
     p.add_argument("--no_openmax", action="store_true")
     p.add_argument("--int8", action="store_true",
                    help="int8-quantize the frozen backbones before export")
+    p.add_argument("--wire", choices=["f32", "int16"], default="f32",
+                   help="int16: program takes raw int16 PCM + per-row "
+                        "lengths (~4x fewer host->device bytes; bit-exact "
+                        "for PCM sources, ~3e-5 quantization otherwise)")
     p.add_argument("--platform", default=None)
     args = p.parse_args()
 
@@ -62,7 +66,8 @@ def main():
         art = ex.export_buckets(
             params, cfg.model, args.out_dir, buckets=buckets,
             text_tokens=args.text_tokens, with_dsp=not args.no_dsp,
-            use_openmax=not args.no_openmax, config_json=cfg_json)
+            use_openmax=not args.no_openmax, wire=args.wire,
+            config_json=cfg_json)
         print(f"Exported {args.checkpoint} (epoch {meta.get('epoch')}) -> "
               f"{art} ({len(buckets)} buckets)")
     else:
@@ -70,7 +75,7 @@ def main():
             params, cfg.model, args.out_dir, batch_size=args.batch_size,
             audio_seconds=args.audio_seconds, text_tokens=args.text_tokens,
             with_dsp=not args.no_dsp, use_openmax=not args.no_openmax,
-            config_json=cfg_json)
+            wire=args.wire, config_json=cfg_json)
         print(f"Exported {args.checkpoint} (epoch {meta.get('epoch')}) -> "
               f"{art}")
 

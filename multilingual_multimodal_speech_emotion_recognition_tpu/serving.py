@@ -252,12 +252,25 @@ class BatchingServer:
 
     def _predict(self, bucket: Bucket, reqs: List[_Pending]) -> List[Dict]:
         B, T = bucket.batch_size, bucket.audio_samples
-        audio = np.zeros((B, T), np.float32)
-        mask = np.zeros((B, T), np.float32)
-        for i, r in enumerate(reqs):
-            w = r.audio[:T]                      # trim over-length (route
-            audio[i, :w.size] = w                # already picked max bucket)
-            mask[i, :w.size] = 1.0
+        spec = bucket.model.spec["batch_spec"]
+        int16_wire = spec["audio"][1] == "int16"
+        if int16_wire:
+            # wire-compact artifact: raw PCM + lengths, ~4x fewer bytes
+            # to device; exact round-trip for b64-int16 request payloads
+            audio = np.zeros((B, T), np.int16)
+            lens = np.zeros((B,), np.int32)
+            for i, r in enumerate(reqs):
+                w = r.audio[:T]
+                audio[i, :w.size] = np.clip(
+                    np.rint(w * 32768.0), -32768, 32767).astype(np.int16)
+                lens[i] = w.size
+        else:
+            audio = np.zeros((B, T), np.float32)
+            mask = np.zeros((B, T), np.float32)
+            for i, r in enumerate(reqs):
+                w = r.audio[:T]                  # trim over-length (route
+                audio[i, :w.size] = w            # already picked max bucket)
+                mask[i, :w.size] = 1.0
         texts = [r.text for r in reqs] + [""] * (B - len(reqs))
         ids, tmask = self.tokenizer.encode_batch(texts,
                                                  self.router.text_tokens)
@@ -267,10 +280,13 @@ class BatchingServer:
                 f"token id {int(ids.max())} out of range for the "
                 f"artifact's vocab ({self.text_vocab}) — tokenizer/"
                 f"artifact mismatch")
-        batch = {"audio": audio, "audio_mask": mask,
+        batch = {"audio": audio,
                  "text_ids": np.asarray(ids, np.int32),
                  "text_mask": np.asarray(tmask, np.float32)}
-        spec = bucket.model.spec["batch_spec"]
+        if int16_wire:
+            batch["audio_len"] = lens
+        else:
+            batch["audio_mask"] = mask
         if "lid_entropy" in spec:                # with_dsp artifact
             ents, _, confs = lid_mod.batch_lid(texts)
             batch["lid_entropy"] = np.asarray(ents, np.float32)

@@ -135,3 +135,41 @@ def test_export_buckets_multi_artifact(tmp_path):
         np.testing.assert_allclose(o["logits"],
                                    np.asarray(want.logits, np.float32),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_int16_wire_matches_f32_wire_exactly_on_pcm(tmp_path):
+    # int16-wire artifact: program takes raw PCM + lengths, dequantizes on
+    # device. For int16-representable audio the two wires must agree to
+    # float rounding; masks built from lengths must equal explicit masks.
+    cfg = tiny_config()
+    params = mdl.init_model(jax.random.key(0), cfg)
+    B, S, sec = 2, 8, 0.2
+    T = int(sec * 16000)
+
+    f32_art = ex.export_forward(params, cfg, tmp_path / "f32", batch_size=B,
+                                audio_seconds=sec, text_tokens=S,
+                                with_dsp=True, wire="f32")
+    i16_art = ex.export_forward(params, cfg, tmp_path / "i16", batch_size=B,
+                                audio_seconds=sec, text_tokens=S,
+                                with_dsp=True, wire="int16")
+    assert ex.ServingModel(i16_art).spec["wire"] == "int16"
+
+    pcm = RNG.integers(-3000, 3000, (B, T)).astype(np.int16)
+    lens = np.array([T, T - 700], np.int32)
+    pcm[1, lens[1]:] = 0
+    f32_audio = pcm.astype(np.float32) / 32768.0
+    mask = (np.arange(T)[None, :] < lens[:, None]).astype(np.float32)
+
+    base = {"text_ids": RNG.integers(2, cfg.text.vocab_size,
+                                     (B, S)).astype(np.int32),
+            "text_mask": np.ones((B, S), np.float32),
+            "lid_entropy": np.full((B,), 1.0, np.float32),
+            "lid_conf": np.zeros((B,), np.float32)}
+    out_f32 = ex.ServingModel(f32_art).predict(
+        dict(base, audio=f32_audio * mask, audio_mask=mask))
+    out_i16 = ex.ServingModel(i16_art).predict(
+        dict(base, audio=pcm, audio_len=lens))
+    np.testing.assert_allclose(out_i16["logits"], out_f32["logits"],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(out_i16["features"], out_f32["features"],
+                               rtol=1e-4, atol=1e-5)

@@ -265,3 +265,40 @@ def test_oob_token_ids_rejected_per_batch(bucketed_artifact):
                         "definitely hashes out of range", timeout=300)
     finally:
         core.close()
+
+
+def test_server_drives_int16_wire_artifact(tmp_path):
+    # serving detects the wire from the spec and ships PCM + lengths;
+    # a b64-int16 request round-trips bit-exactly through quantization
+    cfg = tiny_config()
+    params = __import__(
+        "multilingual_multimodal_speech_emotion_recognition_tpu.models.model",
+        fromlist=["init_model"]).init_model(jax.random.key(0), cfg)
+    ex.export_buckets(params, cfg, tmp_path / "i16",
+                      buckets=[(0.2, 2)], text_tokens=8, with_dsp=True,
+                      wire="int16")
+    core = serving.BatchingServer(
+        serving.ArtifactRouter(tmp_path / "i16"),
+        tokenizer=HashTokenizer(vocab_size=100), max_wait_ms=5.0)
+    try:
+        pcm = RNG.integers(-3000, 3000, 2500).astype(np.int16)
+        wave = pcm.astype(np.float32) / 32768.0
+        res = core.submit(wave, "hello", timeout=300)
+        assert "emotion" in res and np.isfinite(res["confidence"])
+
+        # parity vs direct predict on the identical PCM batch
+        bucket = core.router.buckets[0]
+        ids, tmask = core.tokenizer.encode_batch(["hello", ""], 8)
+        ents, _, confs = lid_mod.batch_lid(["hello", ""])
+        audio = np.zeros((2, bucket.audio_samples), np.int16)
+        audio[0, :pcm.size] = pcm
+        out = bucket.model.predict({
+            "audio": audio,
+            "audio_len": np.array([pcm.size, 0], np.int32),
+            "text_ids": np.asarray(ids, np.int32),
+            "text_mask": np.asarray(tmask, np.float32),
+            "lid_entropy": np.asarray(ents, np.float32),
+            "lid_conf": np.asarray(confs, np.float32)})
+        assert res["prediction"] == int(out["logits"][0].argmax())
+    finally:
+        core.close()
