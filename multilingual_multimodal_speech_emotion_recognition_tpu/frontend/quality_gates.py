@@ -78,9 +78,14 @@ def energy_vad(wave: Array, mask: Array, *, sample_rate: int = 16000) -> Array:
     return sp.masked_mean(speech.astype(jnp.float32), fmask)
 
 
-def estimate_snr(wave: Array, mask: Array) -> Array:
-    """SNR from STFT edge-frame noise estimate (quality_gates.py:189-216)."""
-    S = sp.stft_mag(wave, n_fft=2048, hop=512, center=False)         # [B,F,b]
+def estimate_snr(wave: Array, mask: Array, *, S: Array | None = None) -> Array:
+    """SNR from STFT edge-frame noise estimate (quality_gates.py:189-216).
+
+    `S` lets the orchestrator pass precomputed UNCENTERED 2048/512 hann
+    magnitudes (an interior slice of the centered STFT — same framing,
+    offset 2 frames — so one FFT pass serves SNR and the descriptors)."""
+    if S is None:
+        S = sp.stft_mag(wave, n_fft=2048, hop=512, center=False)     # [B,F,b]
     fmask = sp.full_frame_mask(mask, 2048, 512, S.shape[1])
     n_valid = fmask.sum(axis=-1)                                     # [B]
     n_noise = jnp.maximum((0.1 * n_valid).astype(jnp.int32), 1)      # [B]
@@ -187,10 +192,22 @@ def quality_gates(wave: Array, mask: Array, *, lid_entropy: Array,
     model parameter tree (models/model.py feature-fusion blocks).
     """
     speech_prob = energy_vad(wave, mask, sample_rate=sample_rate)
-    snr_db = estimate_snr(wave, mask)
     clip_pct = clipping_percent(wave, mask)
-    # one STFT/descriptor pass shared by naturalness and content type
-    desc = sp.spectral_descriptors(wave, mask, sample_rate=sample_rate)
+    # ONE 2048/512 hann STFT serves SNR + naturalness + content type:
+    # the centered (reflect-pad) framing's interior frames ARE the
+    # uncentered frames at offset 2 (frame j_centered starts at
+    # 512·j − 1024), so SNR's uncentered magnitudes are an exact slice
+    T = wave.shape[-1]
+    n_fft, hop = 2048, 512
+    S_c = sp.stft_mag(wave, n_fft=n_fft, hop=hop)        # [B, F_c, bins]
+    F_u = max(1 + (T - n_fft) // hop, 1)
+    off = n_fft // (2 * hop)                             # = 2
+    if T >= n_fft and off + F_u <= S_c.shape[1]:
+        snr_db = estimate_snr(wave, mask, S=S_c[:, off:off + F_u])
+    else:                                                # sub-window clips
+        snr_db = estimate_snr(wave, mask)
+    desc = sp.spectral_descriptors(wave, mask, sample_rate=sample_rate,
+                                   S=S_c)
     naturalness = spectral_naturalness(wave, mask, sample_rate=sample_rate,
                                        descriptors=desc)
     music, laughter = content_type(wave, mask, sample_rate=sample_rate,

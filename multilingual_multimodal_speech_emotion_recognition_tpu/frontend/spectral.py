@@ -93,11 +93,25 @@ def stft_frame_mask(mask: Array, *, n_fft: int = 2048, hop: int = 512,
 
 def rms_frames(wave: Array, *, frame_length: int, hop: int) -> Array:
     """Per-frame RMS energy (librosa.feature.rms semantics, center=True,
-    zero padding). [B, T] -> [B, F]."""
+    zero padding). [B, T] -> [B, F].
+
+    Computed from a cumulative sum of squares: one [B, T] pass plus 2F
+    scalar gathers, instead of materializing the [B, F, frame_length]
+    strided-frame gather (which re-reads each sample frame_length/hop
+    times — 2.5-4x the signal for the VAD/laughter framings). The zero
+    padding is realized by clamping the cumsum lookups to [0, T], which
+    is exact: padded samples contribute zero to the frame sum."""
+    T = wave.shape[-1]
     pad = frame_length // 2
-    w = jnp.pad(wave, [(0, 0)] * (wave.ndim - 1) + [(pad, pad)])
-    frames = frame_signal(w, frame_length, hop)
-    return jnp.sqrt(jnp.mean(frames ** 2, axis=-1))
+    num_frames = max(1 + (T + 2 * pad - frame_length) // hop, 1)
+    c = jnp.cumsum(jnp.square(wave.astype(jnp.float32)), axis=-1)
+    c = jnp.concatenate(
+        [jnp.zeros_like(c[..., :1]), c], axis=-1)      # c[i] = sum w[:i]^2
+    starts = np.arange(num_frames) * hop - pad
+    lo = np.clip(starts, 0, T)
+    hi = np.clip(starts + frame_length, 0, T)
+    sumsq = c[..., hi] - c[..., lo]
+    return jnp.sqrt(jnp.maximum(sumsq, 0.0) / frame_length)
 
 
 def masked_mean(x: Array, mask: Array, axis=-1, eps: float = 1e-10) -> Array:
@@ -166,10 +180,15 @@ def welch_psd(wave: Array, mask: Array, *, sample_rate: int,
 
 @functools.partial(jax.jit, static_argnames=("sample_rate", "n_fft", "hop"))
 def spectral_descriptors(wave: Array, mask: Array, *, sample_rate: int = 16000,
-                         n_fft: int = 2048, hop: int = 512):
+                         n_fft: int = 2048, hop: int = 512,
+                         S: Array | None = None):
     """Masked means of librosa-style spectral centroid / rolloff (85%) /
-    bandwidth over valid frames. [B, T] -> three [B] arrays."""
-    S = stft_mag(wave, n_fft=n_fft, hop=hop)                     # [B, F, bins]
+    bandwidth over valid frames. [B, T] -> three [B] arrays.
+
+    `S` lets the caller pass a precomputed centered stft_mag (one FFT
+    pass shared across the gate battery)."""
+    if S is None:
+        S = stft_mag(wave, n_fft=n_fft, hop=hop)                 # [B, F, bins]
     fmask = stft_frame_mask(mask, n_fft=n_fft, hop=hop)          # [B, F]
     freqs = jnp.asarray(np.fft.rfftfreq(n_fft, d=1.0 / sample_rate),
                         dtype=S.dtype)

@@ -417,3 +417,41 @@ def test_model_gflops_accounting_sane():
     fl8 = bm.model_gflops_per_utt(ModelConfig(), audio_seconds=8.0,
                                   text_tokens=32)
     assert 1.8 < fl8["total_gflops"] / fl["total_gflops"] < 2.3
+
+
+# --------------------------------------------- fused spectral-pass parity
+
+def test_rms_frames_matches_direct_framing():
+    # cumsum-of-squares realization must equal the literal librosa-style
+    # zero-padded center framing (including edge frames)
+    rng = np.random.default_rng(21)
+    wave = jnp.asarray(rng.standard_normal((2, 4000)).astype(np.float32))
+    for frame, hop in ((400, 160), (2048, 512), (333, 100)):
+        got = np.asarray(sp.rms_frames(wave, frame_length=frame, hop=hop))
+        pad = frame // 2
+        w = np.pad(np.asarray(wave), [(0, 0), (pad, pad)])
+        F = got.shape[-1]
+        want = np.stack([
+            np.sqrt((w[:, i * hop:i * hop + frame] ** 2).mean(axis=-1))
+            for i in range(F)], axis=-1)
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-6)
+
+
+def test_centered_stft_interior_slice_is_uncentered_stft():
+    # the one-FFT-pass gate battery relies on this exact identity
+    rng = np.random.default_rng(22)
+    wave = jnp.asarray(rng.standard_normal((2, SR)).astype(np.float32))
+    S_c = np.asarray(sp.stft_mag(wave, n_fft=2048, hop=512))
+    S_u = np.asarray(sp.stft_mag(wave, n_fft=2048, hop=512, center=False))
+    np.testing.assert_allclose(S_c[:, 2:2 + S_u.shape[1]], S_u,
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_estimate_snr_shared_stft_matches_standalone():
+    wave, mask = padded_batch([speech_like(SR), speech_like(SR // 2, 5)],
+                              T_pad=SR)
+    S_c = sp.stft_mag(wave, n_fft=2048, hop=512)
+    F_u = 1 + (SR - 2048) // 512
+    got = np.asarray(qg.estimate_snr(wave, mask, S=S_c[:, 2:2 + F_u]))
+    want = np.asarray(qg.estimate_snr(wave, mask))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-3)
