@@ -34,9 +34,8 @@ def main():
                         "(ops/quant.py)")
     args = p.parse_args()
 
-    if args.platform:
-        import jax
-        jax.config.update("jax_platforms", args.platform)
+    from multilingual_multimodal_speech_emotion_recognition_tpu.utils import runtime
+    runtime.configure(platform=args.platform)  # + persistent XLA compile cache
 
     import dataclasses
     from multilingual_multimodal_speech_emotion_recognition_tpu import config as cfg_lib

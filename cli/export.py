@@ -40,9 +40,8 @@ def main():
     p.add_argument("--platform", default=None)
     args = p.parse_args()
 
-    if args.platform:
-        import jax
-        jax.config.update("jax_platforms", args.platform)
+    from multilingual_multimodal_speech_emotion_recognition_tpu.utils import runtime
+    runtime.configure(platform=args.platform)  # + persistent XLA compile cache
 
     from multilingual_multimodal_speech_emotion_recognition_tpu import (
         config as cfg_lib, export as ex)

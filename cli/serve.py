@@ -42,9 +42,8 @@ def main():
                         "the platform the artifact was exported on")
     args = p.parse_args()
 
-    if args.platform:
-        import jax
-        jax.config.update("jax_platforms", args.platform)
+    from multilingual_multimodal_speech_emotion_recognition_tpu.utils import runtime
+    runtime.configure(platform=args.platform)  # + persistent XLA compile cache
 
     from multilingual_multimodal_speech_emotion_recognition_tpu import serving
     from multilingual_multimodal_speech_emotion_recognition_tpu.data.tokenizer \

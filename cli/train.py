@@ -37,6 +37,9 @@ def main():
     p.add_argument("--scheduler", choices=["warmup_cosine", "cosine_restarts"],
                    default="warmup_cosine")
     p.add_argument("--grad_clip", type=float, default=None)
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="microbatches per optimizer step (batch_size stays "
+                        "the effective batch; bounds activation memory)")
     p.add_argument("--early_stop_patience", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dataset_root", type=str, default="datasets")
@@ -70,9 +73,8 @@ def main():
                         "(working replacement for src/train_two_phase.py)")
     args = p.parse_args()
 
-    if args.platform:
-        import jax
-        jax.config.update("jax_platforms", args.platform)
+    from multilingual_multimodal_speech_emotion_recognition_tpu.utils import runtime
+    runtime.configure(platform=args.platform)  # + persistent XLA compile cache
 
     from multilingual_multimodal_speech_emotion_recognition_tpu.config import (
         Config, DataConfig, ModelConfig, TrainConfig)
@@ -84,6 +86,7 @@ def main():
         proto_weight=args.proto_weight, save_dir=args.save_dir,
         resume_from=args.resume_from, scheduler=args.scheduler,
         grad_clip=args.grad_clip, seed=args.seed,
+        grad_accum=args.grad_accum,
         supcon_weight=args.supcon_weight,
         early_stop_patience=args.early_stop_patience)
     num_labels = args.num_labels

@@ -27,6 +27,11 @@ class ModelConfig:
     classifier_base_dim: int = 512
     classifier_dropout: float = 0.15    # train.py:68
     cross_dropout: float = 0.1
+    # parity defaults the reference hardcodes; exposed so tests/ablations
+    # can disable every stochastic path (fusion.py:13-16 Dropout(0.1),
+    # classifier.py:28-33 anchor feature-projection Dropout(0.1))
+    fusion_dropout: float = 0.1
+    anchor_dropout: float = 0.1
     use_quality_gates: bool = True      # audio_encoder.py:9-11 defaults
     use_audio_conditioning: bool = True
     use_asr: bool = False               # text_encoder.py:8 default
@@ -112,6 +117,10 @@ class TrainConfig:
     save_dir: str = "checkpoints"
     resume_from: Optional[str] = None
     grad_clip: Optional[float] = None   # train_crema.py uses 1.0
+    # microbatches per optimizer step (lax.scan inside the jitted step);
+    # bounds activation memory at large effective batches — batch_size
+    # stays the effective batch, must be divisible by grad_accum
+    grad_accum: int = 1
     seed: int = 0
     # loss mix (train.py:151-168)
     focal_weight: float = 0.3

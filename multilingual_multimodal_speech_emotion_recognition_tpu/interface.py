@@ -287,8 +287,8 @@ def main(argv=None):
                    help="int8-quantize the frozen backbones for serving")
     args = p.parse_args(argv)
 
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
+    from .utils import runtime
+    runtime.configure(platform=args.platform)  # + persistent compile cache
 
     iface = EmotionRecognitionInterface(args.checkpoint,
                                         quantize_int8=args.int8)

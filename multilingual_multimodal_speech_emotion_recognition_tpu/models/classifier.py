@@ -174,6 +174,7 @@ def anchor_clustering(params: dict, features: Array, *, dropout_rate: float = 0.
 
 def classifier_forward(params: dict, x: Array, *, use_openmax: bool = False,
                        dropout_rate: float = 0.15,
+                       anchor_dropout: float = 0.1,
                        dropout_key: Optional[Array] = None,
                        deterministic: bool = True,
                        remat: bool = False) -> ClassifierOutput:
@@ -188,7 +189,8 @@ def classifier_forward(params: dict, x: Array, *, use_openmax: bool = False,
                                 dropout_key=k_feat, deterministic=deterministic,
                                 remat=remat)
     sims, anchor_loss = anchor_clustering(params["anchor"], feats,
-                                          dropout_rate=0.1, dropout_key=k_anchor,
+                                          dropout_rate=anchor_dropout,
+                                          dropout_key=k_anchor,
                                           deterministic=deterministic)
     logits = layers.linear(params["out_proj2"], feats)
 

@@ -222,13 +222,14 @@ def model_heads(params: dict, cfg: ModelConfig, a_seq: Array, a_mask: Array,
     t_vec = pooling_ops.attentive_stats_pooling(p["pool_t"], t_enh, t_mask)
 
     fused = fusion_mod.fusion(p["fusion"], a_vec, t_vec,
-                              dropout_rate=0.1, dropout_key=k_fu,
+                              dropout_rate=cfg.fusion_dropout, dropout_key=k_fu,
                               deterministic=deterministic)
 
     # classifier numerics stay f32 (tiny FLOPs, parity-critical)
     out = clf.classifier_forward(
         params["classifier"], fused.astype(jnp.float32),
         use_openmax=use_openmax, dropout_rate=cfg.classifier_dropout,
+        anchor_dropout=cfg.anchor_dropout,
         dropout_key=k_c, deterministic=deterministic)
 
     return ModelOutput(logits=out.logits, uncertainty=out.uncertainty,

@@ -14,6 +14,7 @@ mesh sharding, metrics JSONL stream.
 
 from __future__ import annotations
 
+import signal
 import time
 from pathlib import Path
 from typing import Dict, Optional
@@ -63,12 +64,47 @@ def evaluate(params, cfg: Config, loader: BucketedLoader, mesh,
     return out
 
 
+class PreemptionGuard:
+    """Preemption-safe shutdown for spot/preemptible TPU VMs.
+
+    Installs a SIGTERM handler (the signal cloud schedulers send ahead of
+    reclaim) that only sets a flag; the train loop polls it at step
+    boundaries and writes a resumable checkpoint before exiting — no state
+    is ever torn down mid-update. The reference has no notion of this
+    (its only failure handling is zeros-on-decode-error and skip-batch,
+    SURVEY.md §5.3); on TPU pools preemption is routine, so this is part
+    of the runtime layer. No-ops safely off the main thread."""
+
+    def __init__(self, signals=(signal.SIGTERM,)):
+        self._signals = signals
+        self._prev = {}
+        self.triggered = False
+
+    def _handler(self, signum, frame):
+        self.triggered = True
+
+    def __enter__(self):
+        for s in self._signals:
+            try:
+                self._prev[s] = signal.signal(s, self._handler)
+            except ValueError:      # not the main thread: poll-only mode
+                pass
+        return self
+
+    def __exit__(self, *exc):
+        for s, prev in self._prev.items():
+            signal.signal(s, prev)
+        self._prev = {}          # idempotent: safe to call from any exit path
+        return False
+
+
 def train(cfg: Config, *, train_manifest: str, val_manifest: str,
           tokenizer: Optional[Tokenizer] = None,
           pretrained: Optional[Dict] = None,
           initial_params: Optional[Dict] = None,
           mesh=None, log_path: Optional[str] = None,
-          progress: bool = True) -> Dict:
+          progress: bool = True,
+          guard: Optional[PreemptionGuard] = None) -> Dict:
     tcfg = cfg.train
     tok = tokenizer or get_tokenizer(vocab_size=cfg.model.text.vocab_size)
     mesh = mesh or mesh_lib.make_mesh()
@@ -138,6 +174,8 @@ def train(cfg: Config, *, train_manifest: str, val_manifest: str,
     last_meta: Dict = {}
     save_root = Path(tcfg.save_dir)
     f1 = 0.0
+    guard = guard or PreemptionGuard()
+    guard.__enter__()
 
     for epoch in range(start_epoch, tcfg.epochs):
         t0 = time.time()
@@ -156,6 +194,8 @@ def train(cfg: Config, *, train_manifest: str, val_manifest: str,
             params, opt_state, metrics = step_fn(params, opt_state, dev_batch, k_step)
             global_step += 1
             n_window += 1
+            if guard.triggered:
+                break
             losses.append(metrics.loss)  # no host sync: keep device pipelined
             if global_step % 50 == 0:
                 # the float() here is the only host sync in the window
@@ -171,6 +211,25 @@ def train(cfg: Config, *, train_manifest: str, val_manifest: str,
                 if progress:
                     print(f"epoch {epoch} step {global_step} "
                           f"loss {float(metrics.loss):.4f}")
+        if guard.triggered:
+            # Preempted: write a resumable checkpoint at the last completed
+            # step and exit. epoch-1 in the meta makes --resume_from restart
+            # the interrupted epoch (step count and optimizer state carry
+            # through, so the LR schedule continues where it stopped).
+            pre_path = save_root / f"preempt_step_{global_step}"
+            ckpt_lib.save_checkpoint(
+                pre_path, params=params, opt_state=opt_state,
+                step=global_step, epoch=epoch - 1, f1=max(best_f1, 0.0),
+                config_json=to_json(cfg), dedup_frozen=tcfg.freeze_backbones,
+                frozen_store=save_root / "frozen_store")
+            writer.write({"kind": "preempt", "step": global_step,
+                          "epoch": epoch, "checkpoint": str(pre_path)})
+            if progress:
+                print(f"Preemption signal: saved {pre_path} at step "
+                      f"{global_step}, exiting")
+            last_path = pre_path
+            break
+
         train_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
 
         ev = evaluate(params, cfg, val_loader, mesh)
@@ -198,6 +257,14 @@ def train(cfg: Config, *, train_manifest: str, val_manifest: str,
                       f"@ {best_epoch})")
             break
 
+    guard.__exit__()
+    if guard.triggered:
+        # fast exit on preemption — no val pass; the Weibull fit happens on
+        # the resumed run's natural loop exit
+        return {"params": params, "opt_state": opt_state, "history": history,
+                "best_f1": best_f1, "final_f1": f1, "mesh": mesh,
+                "preempted": True, "checkpoint": str(last_path)}
+
     # Weibull fit ALWAYS runs on loop exit — after the last *executed* epoch
     # (reference src/train.py:204-245), which under early stopping or a
     # resume-shortened run is not epochs-1. Both the final and the best-F1
@@ -222,7 +289,8 @@ def train(cfg: Config, *, train_manifest: str, val_manifest: str,
             frozen_store=save_root / "frozen_store")
 
     return {"params": params, "opt_state": opt_state, "history": history,
-            "best_f1": best_f1, "final_f1": f1, "mesh": mesh}
+            "best_f1": best_f1, "final_f1": f1, "mesh": mesh,
+            "preempted": False}
 
 
 def train_two_phase(cfg: Config, *, train_manifest: str, val_manifest: str,

@@ -104,8 +104,8 @@ def make_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig, tx,
                 speed_per_batch=train_cfg.augment_speed_per_batch)
             batch = {**batch, "audio": wave, "audio_mask": mask}
 
-        def loss_fn(p, key):
-            loss, metrics = compute_loss(p, model_cfg, train_cfg, batch,
+        def loss_fn(p, key, mb):
+            loss, metrics = compute_loss(p, model_cfg, train_cfg, mb,
                                          dropout_key=key, deterministic=False)
             if train_cfg.consistency_aug_weight > 0:
                 # train_crema_final.py:283-292 — a second forward on an
@@ -114,15 +114,15 @@ def make_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig, tx,
                 from ..ops import audio_dsp, losses as loss_ops
                 k_gate, k_aug2, k_drop = jax.random.split(key, 3)
                 wave2, mask2 = audio_dsp.augment_batch(
-                    k_aug2, batch["audio"], batch["audio_mask"],
+                    k_aug2, mb["audio"], mb["audio_mask"],
                     speed_per_batch=train_cfg.augment_speed_per_batch)
-                aug_batch = {**batch, "audio": wave2, "audio_mask": mask2}
+                aug_batch = {**mb, "audio": wave2, "audio_mask": mask2}
                 out2 = mdl.model_forward(p, model_cfg, aug_batch,
                                          deterministic=False,
                                          dropout_key=k_drop,
                                          use_openmax=False)
                 ce2 = loss_ops.label_smoothing_cross_entropy(
-                    out2.logits, batch["labels"],
+                    out2.logits, mb["labels"],
                     smoothing=train_cfg.label_smoothing)
                 apply = (jax.random.uniform(k_gate)
                          < train_cfg.consistency_aug_fraction)
@@ -132,8 +132,42 @@ def make_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig, tx,
                 metrics = metrics._replace(loss=loss)
             return loss, metrics
 
-        (_, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params, rng)
+        accum = max(1, int(train_cfg.grad_accum))
+        if accum == 1:
+            (_, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, rng, batch)
+        else:
+            # Gradient accumulation: lax.scan over `accum` microbatches so
+            # forward/backward activation memory is bounded by batch/accum
+            # rows while the optimizer still sees the full effective batch.
+            # One XLA program, one optimizer update — the loader, scheduler,
+            # and checkpoint cadence are untouched. Batch-statistic loss
+            # terms (class-balanced focal's per-batch bincount,
+            # losses.py:41-64 parity) are computed per microbatch — the
+            # standard accumulation semantics; the mean-reduced terms (CE,
+            # uncertainty, proto) average to exactly the full-batch value.
+            b0 = batch["labels"].shape[0]
+            if b0 % accum != 0:
+                raise ValueError(
+                    f"batch size {b0} not divisible by grad_accum {accum}")
+            rows = {k: v for k, v in batch.items()
+                    if hasattr(v, "ndim") and v.ndim >= 1
+                    and v.shape[0] == b0}
+            rest = {k: v for k, v in batch.items() if k not in rows}
+            micro = {k: v.reshape((accum, b0 // accum) + v.shape[1:])
+                     for k, v in rows.items()}
+            keys = jax.random.split(rng, accum)
+
+            def body(gsum, xs):
+                key, mb = xs
+                (_, m), g = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params, key, {**mb, **rest})
+                return jax.tree.map(jnp.add, gsum, g), m
+
+            gsum0 = jax.tree.map(jnp.zeros_like, params)
+            gsum, mstack = jax.lax.scan(body, gsum0, (keys, micro))
+            grads = jax.tree.map(lambda g: g / accum, gsum)
+            metrics = jax.tree.map(lambda m: jnp.mean(m, axis=0), mstack)
         # non-finite guard: skip the update, like train_crema.py:360-368
         gnorm = optax.global_norm(grads)
         ok = jnp.isfinite(gnorm) & jnp.isfinite(metrics.loss)

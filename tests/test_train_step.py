@@ -140,3 +140,57 @@ def test_crema_preset_knobs():
     plain, _ = ts.compute_loss(params, cfg, tcfg, batch,
                                dropout_key=None, deterministic=True)
     assert np.isfinite(float(plain))
+
+
+def test_grad_accum_matches_full_batch():
+    """grad_accum=2 must produce the same optimizer update as accum=1 when
+    every loss term is a plain per-row mean (focal off — its per-batch
+    bincount class weights are documented as microbatch-local) and EVERY
+    dropout is off (microbatches consume distinct dropout keys by design:
+    backbone hidden/attention dropout and the hardcoded-0.1 feature-fuse
+    dropout must be disabled too, not just the head dropouts)."""
+    import dataclasses
+    cfg = tiny_config(classifier_dropout=0.0, cross_dropout=0.0,
+                      fusion_dropout=0.0, anchor_dropout=0.0,
+                      use_quality_gates=False, use_audio_conditioning=False)
+    cfg = dataclasses.replace(
+        cfg,
+        audio=dataclasses.replace(cfg.audio, hidden_dropout=0.0,
+                                  attention_dropout=0.0,
+                                  activation_dropout=0.0),
+        text=dataclasses.replace(cfg.text, hidden_dropout=0.0,
+                                 attention_dropout=0.0))
+    params = mdl.init_model(jax.random.key(0), cfg)
+    batch = _with_labels(tiny_batch())
+    outs = {}
+    import optax
+    for accum in (1, 2):
+        tcfg = TrainConfig(epochs=1, grad_accum=accum, focal_weight=0.0)
+        # SGD makes the update LINEAR in the gradient, so param equality is
+        # a well-conditioned proxy for gradient equality; Adam's g/sqrt(v)
+        # amplifies fp-reduction-order noise on near-zero leaves.
+        tx = optax.sgd(0.1)
+        opt_state = tx.init(params)
+        step = ts.make_train_step(cfg, tcfg, tx, donate=False)
+        p, o, m = step(params, opt_state, batch, jax.random.key(1))
+        outs[accum] = (p, float(m.loss), float(m.accuracy))
+    np.testing.assert_allclose(outs[1][1], outs[2][1], rtol=1e-5)
+    np.testing.assert_allclose(outs[1][2], outs[2][2], rtol=1e-6)
+    flat1 = jax.tree.leaves(outs[1][0])
+    flat2 = jax.tree.leaves(outs[2][0])
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_grad_accum_rejects_indivisible_batch():
+    cfg = tiny_config()
+    tcfg = TrainConfig(epochs=1, grad_accum=3)
+    params = mdl.init_model(jax.random.key(0), cfg)
+    tx = opt_lib.make_train_optimizer(params, lr=1e-3, total_steps=10)
+    step = ts.make_train_step(cfg, tcfg, tx, donate=False)
+    batch = _with_labels(tiny_batch())  # B=4, not divisible by 3
+    import pytest
+    with pytest.raises(ValueError, match="divisible"):
+        step(params, tx.init(params), batch, jax.random.key(1))

@@ -69,3 +69,40 @@ def test_step_keys_deterministic():
                                jax.random.key_data(k3))
     ks = debug.step_keys(base, 3, n=4)
     assert ks.shape[0] == 4
+
+
+def test_compilation_cache_persists_programs(tmp_path):
+    """runtime.enable_compilation_cache writes compiled programs to disk:
+    a fresh process compiling the same jitted fn must hit the cache (the
+    lever that turns 5-300 s relayed-TPU compiles into sub-second loads).
+    Subprocess-based: cache config must land before backend init."""
+    import subprocess, sys, pathlib
+    root = pathlib.Path(__file__).resolve().parent.parent
+    prog = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "from multilingual_multimodal_speech_emotion_recognition_tpu.utils"
+        " import runtime\n"
+        f"d = runtime.enable_compilation_cache({str(tmp_path)!r})\n"
+        "assert d\n"
+        "import jax.numpy as jnp\n"
+        "f = jax.jit(lambda x: (x @ x.T).sum())\n"
+        "print(float(f(jnp.ones((64, 64)))))\n")
+    for _ in range(2):
+        proc = subprocess.run([sys.executable, "-c", prog], cwd=root,
+                              capture_output=True, text=True, timeout=120)
+        assert proc.returncode == 0, proc.stderr[-1500:]
+    entries = list(tmp_path.iterdir())
+    assert entries, "no cache entries written"
+
+
+def test_runtime_configure_disable_via_env(tmp_path, monkeypatch):
+    from multilingual_multimodal_speech_emotion_recognition_tpu.utils import (
+        runtime)
+    monkeypatch.setenv("SER_TPU_CACHE_DIR", "off")
+    assert runtime.enable_compilation_cache() == ""
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        monkeypatch.setenv("SER_TPU_CACHE_DIR", str(tmp_path / "c"))
+        assert runtime.enable_compilation_cache() == str(tmp_path / "c")
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
