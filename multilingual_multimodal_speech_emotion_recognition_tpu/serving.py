@@ -210,6 +210,19 @@ class BatchingServer:
             self._queues[id(b)].put(None)  # wake workers
         for w in self._workers:
             w.join(timeout=5.0)
+        # fail-fast any requests that were queued but never picked up, so
+        # their submit() callers get an immediate error instead of hanging
+        # until their timeout during shutdown
+        for b in self.router.buckets:
+            q = self._queues[id(b)]
+            while True:
+                try:
+                    r = q.get_nowait()
+                except queue.Empty:
+                    break
+                if r is not None:
+                    r.error = "server shutting down"
+                    r.done.set()
 
     # ------------------------------------------------------------- worker
 
@@ -408,14 +421,37 @@ def make_http_server(core: BatchingServer, host: str = "127.0.0.1",
 def serve(art_dir: str, *, host: str = "127.0.0.1", port: int = 8080,
           max_wait_ms: float = 15.0, preload: bool = True,
           tokenizer=None) -> None:
-    """Blocking entry point used by cli/serve.py."""
+    """Blocking entry point used by cli/serve.py.
+
+    Graceful drain on SIGTERM (the signal schedulers/orchestrators send
+    before reclaiming the pod): stop accepting connections, let in-flight
+    handler threads finish (server_close joins them), run the workers'
+    final partial batches, then fail any never-picked-up queue stragglers
+    fast. Mirrors the train loop's PreemptionGuard (train/loop.py)."""
+    import signal
+
     router = ArtifactRouter(art_dir, preload=preload)
     core = BatchingServer(router, tokenizer=tokenizer,
                           max_wait_ms=max_wait_ms)
     httpd = make_http_server(core, host, port)
+
+    def _term(signum, frame):
+        # shutdown() blocks until serve_forever exits, and we're IN
+        # serve_forever on this thread — hand it to a helper thread
+        threading.Thread(target=httpd.shutdown, daemon=True).start()
+
+    prev = None
+    try:
+        prev = signal.signal(signal.SIGTERM, _term)
+    except ValueError:          # not the main thread (tests): no handler
+        pass
     print(f"serving {art_dir} on http://{host}:{port} "
           f"({len(router.buckets)} bucket(s))", flush=True)
     try:
         httpd.serve_forever()
     finally:
+        if prev is not None:
+            signal.signal(signal.SIGTERM, prev)
+        httpd.server_close()    # joins in-flight request threads
         core.close()
+        print("drained, exiting", flush=True)

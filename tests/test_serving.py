@@ -302,3 +302,18 @@ def test_server_drives_int16_wire_artifact(tmp_path):
         assert res["prediction"] == int(out["logits"][0].argmax())
     finally:
         core.close()
+
+
+def test_close_fails_queued_stragglers_fast(bucketed_artifact):
+    """Shutdown drain: requests still sitting in a bucket queue after the
+    workers exit must be failed immediately ("server shutting down"), not
+    left to hang until their submit() timeout."""
+    art, _, _ = bucketed_artifact
+    core = _core(art)
+    core.close()                      # workers gone
+    bucket = core.router.buckets[0]
+    req = serving._Pending(audio=np.zeros(10, np.float32), text="")
+    core._queues[id(bucket)].put(req)
+    core.close()                      # idempotent; drains the straggler
+    assert req.done.is_set()
+    assert req.error == "server shutting down"
