@@ -238,7 +238,7 @@ class EmotionRecognitionInterface:
         axes[0, 0].set_title("Class Probabilities")
         axes[0, 1].bar(["confidence", "uncertainty"],
                        [float(results["confidence"][0]),
-                        float(results["uncertainty"][0])])
+                        float(np.reshape(results["uncertainty"][0], -1)[0])])
         axes[0, 1].set_title("Confidence vs Uncertainty")
         axes[0, 2].bar(self.emotion_labels, results["logits"][0])
         axes[0, 2].set_title("Raw Logits")
