@@ -62,6 +62,11 @@ def main():
     p.add_argument("--xlmr_checkpoint", type=str, default=None)
     p.add_argument("--platform", type=str, default=None,
                    help="override jax platform (e.g. cpu for testing)")
+    p.add_argument("--mesh_model", type=int, default=1,
+                   help="model (tensor-parallel) mesh axis size")
+    p.add_argument("--mesh_dcn", type=int, default=1,
+                   help="multi-slice pods: number of slices; pure data "
+                        "parallelism over DCN, slice-major 'data' axis")
     p.add_argument("--preset", choices=["default", "crema_m3", "crema_final"],
                    default="default",
                    help="crema_m3 = train_crema.py knobs (6-class, softened "
@@ -77,7 +82,7 @@ def main():
     runtime.configure(platform=args.platform)  # + persistent XLA compile cache
 
     from multilingual_multimodal_speech_emotion_recognition_tpu.config import (
-        Config, DataConfig, ModelConfig, TrainConfig)
+        Config, DataConfig, MeshConfig, ModelConfig, TrainConfig)
     from multilingual_multimodal_speech_emotion_recognition_tpu.train import loop
 
     train_kw = dict(
@@ -125,7 +130,8 @@ def main():
             audio=AUDIO_BACKBONE_PRESETS[args.audio_backbone]()),
         data=DataConfig(dataset_root=args.dataset_root,
                         emit_asr_feats=args.use_asr),
-        train=TrainConfig(**train_kw))
+        train=TrainConfig(**train_kw),
+        mesh=MeshConfig(model_axis=args.mesh_model, dcn_data=args.mesh_dcn))
 
     pretrained = {}
     if args.wav2vec2_checkpoint:

@@ -145,8 +145,12 @@ class TrainConfig:
 
 @dataclasses.dataclass(frozen=True)
 class MeshConfig:
-    data_axis: int = -1                 # -1: all devices on data axis
+    data_axis: int = -1                 # -1: all remaining devices on data
     model_axis: int = 1
+    dcn_data: int = 1                   # >1: multi-slice pod — data_axis
+    #                                     counts per-slice shards; the DCN
+    #                                     axis folds slice-major into 'data'
+    #                                     (parallel/mesh.py:make_mesh)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -232,7 +232,7 @@ def run_academic_evaluation(params, cfg: Config, manifest: str, *,
                             open_set_unknown_class: Optional[int] = None,
                             verbose: bool = True) -> Dict:
     tok = tokenizer or get_tokenizer(vocab_size=cfg.model.text.vocab_size)
-    mesh = mesh or mesh_lib.make_mesh()
+    mesh = mesh or mesh_lib.mesh_from_config(cfg.mesh)
     ds = SERDataset(manifest, cfg.data)
     loader = _BatchCache(BucketedLoader(ds, batch_size=batch_size,
                                         tokenizer=tok, shuffle=False))

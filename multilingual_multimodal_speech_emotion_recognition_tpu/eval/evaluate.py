@@ -135,7 +135,7 @@ def evaluate_manifest(params, cfg: Config, manifest: str, *,
                       tokenizer: Optional[Tokenizer] = None,
                       mesh=None, verbose: bool = True) -> Dict:
     tok = tokenizer or get_tokenizer(vocab_size=cfg.model.text.vocab_size)
-    mesh = mesh or mesh_lib.make_mesh()
+    mesh = mesh or mesh_lib.mesh_from_config(cfg.mesh)
 
     optimal_temp = 1.0
     if calibrate and val_manifest:

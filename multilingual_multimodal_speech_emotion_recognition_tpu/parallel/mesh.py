@@ -22,15 +22,46 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
-def make_mesh(devices=None, data: int = -1, model: int = 1) -> Mesh:
-    """Build a ('data','model') mesh. data=-1 uses all remaining devices."""
+def make_mesh(devices=None, data: int = -1, model: int = 1,
+              *, dcn_data: int = 1) -> Mesh:
+    """Build a ('data','model') mesh. data=-1 uses all remaining devices.
+
+    dcn_data > 1 targets a MULTI-SLICE pod: `data` then counts per-slice
+    data shards and the global data axis is dcn_data*data, laid out
+    slice-major so the only inter-slice traffic is the once-per-step
+    gradient all-reduce segment (pure data parallelism over DCN; tensor
+    sharding and the intra-slice gradient segments stay on ICI — the
+    standard DCN-outermost recipe). On real multi-slice hardware the
+    device order comes from mesh_utils.create_hybrid_device_mesh (which
+    reads each device's slice topology); on single-slice or virtual
+    (CPU-mesh) devices the slice-major reshape is used directly — the
+    SPMD program is identical either way, only physical placement of the
+    collective hops differs, so the multi-slice program can be validated
+    end-to-end without a pod.
+    """
     devices = np.asarray(devices if devices is not None else jax.devices())
     n = devices.size
     if data == -1:
-        assert n % model == 0
-        data = n // model
-    assert data * model == n, f"{data}x{model} != {n} devices"
-    return Mesh(devices.reshape(data, model), (DATA_AXIS, MODEL_AXIS))
+        assert n % (model * dcn_data) == 0
+        data = n // (model * dcn_data)
+    assert data * model * dcn_data == n, \
+        f"dcn {dcn_data} x data {data} x model {model} != {n} devices"
+    if dcn_data > 1 and all(getattr(d, "slice_index", None) is not None
+                            for d in devices.flat):
+        from jax.experimental import mesh_utils
+        dm = mesh_utils.create_hybrid_device_mesh(
+            (data, model), (dcn_data, 1), devices=list(devices.flat),
+            allow_split_physical_axes=True)
+        dm = np.asarray(dm).reshape(dcn_data * data, model)
+    else:
+        dm = devices.reshape(dcn_data * data, model)
+    return Mesh(dm, (DATA_AXIS, MODEL_AXIS))
+
+
+def mesh_from_config(mcfg) -> Mesh:
+    """Build the mesh a `MeshConfig` describes (config.py:MeshConfig)."""
+    return make_mesh(data=mcfg.data_axis, model=mcfg.model_axis,
+                     dcn_data=mcfg.dcn_data)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

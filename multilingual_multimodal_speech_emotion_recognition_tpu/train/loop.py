@@ -107,7 +107,7 @@ def train(cfg: Config, *, train_manifest: str, val_manifest: str,
           guard: Optional[PreemptionGuard] = None) -> Dict:
     tcfg = cfg.train
     tok = tokenizer or get_tokenizer(vocab_size=cfg.model.text.vocab_size)
-    mesh = mesh or mesh_lib.make_mesh()
+    mesh = mesh or mesh_lib.mesh_from_config(cfg.mesh)
     writer = MetricsWriter(log_path or str(Path(tcfg.save_dir) / "metrics.jsonl"))
 
     train_ds = SERDataset(train_manifest, cfg.data)

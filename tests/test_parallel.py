@@ -144,3 +144,35 @@ def test_ring_stack_wavlm_gated_relpos(S):
     with pytest.raises(AssertionError):
         encoder_stack_sequence_parallel(params["layers"], cfg, h,
                                         frame_mask, mesh)
+
+
+def test_multislice_folded_mesh_matches_flat():
+    """dcn_data>1 folds a slice-major DCN axis into 'data'; on virtual
+    devices the SPMD program must be identical to the flat mesh (the DCN
+    layout only changes physical placement), so sharded forward logits
+    must match exactly."""
+    import multilingual_multimodal_speech_emotion_recognition_tpu.models.model as mdl
+    from test_model import tiny_batch, tiny_config
+
+    cfg = tiny_config()
+    params = mdl.init_model(jax.random.key(0), cfg)
+    batch = tiny_batch(B=8)
+
+    def run(mesh):
+        p = mesh_lib.shard_params(params, mesh)
+        b = mesh_lib.shard_batch(batch, mesh)
+
+        @jax.jit
+        def fwd(p, b):
+            return mdl.model_forward(p, cfg, b, deterministic=True).logits
+
+        return np.asarray(fwd(p, b))
+
+    flat = run(mesh_lib.make_mesh(data=4, model=2))
+    multi = run(mesh_lib.make_mesh(data=2, model=2, dcn_data=2))
+    np.testing.assert_array_equal(flat, multi)
+
+    # data=-1 infers per-slice shards from the remaining device count
+    inferred = mesh_lib.make_mesh(data=-1, model=2, dcn_data=2)
+    assert dict(zip(inferred.axis_names, inferred.devices.shape)) == {
+        "data": 4, "model": 2}
