@@ -75,8 +75,19 @@ def resample_host(x: np.ndarray, orig_sr: int, new_sr: int) -> np.ndarray:
         return x
     from scipy.signal import resample_poly
     import math
+    # A corrupt WAV header can declare an arbitrary sample rate; a rate that
+    # is coprime-ish with the target makes resample_poly build a polyphase
+    # filter of ~20*max(up, down) taps (minutes of CPU at adversarial
+    # values). Every real-world rate (8k/11.025k/16k/22.05k/44.1k/48k/96k/
+    # 192k) reduces to tiny up/down vs 16 kHz, so reject implausible ratios
+    # and let load_audio's zeros-on-error fallback handle the file.
+    if not (1000 <= orig_sr <= 768_000):
+        raise ValueError(f"implausible sample rate {orig_sr}")
     g = math.gcd(orig_sr, new_sr)
-    return resample_poly(x, new_sr // g, orig_sr // g, axis=-1).astype(np.float32)
+    up, down = new_sr // g, orig_sr // g
+    if max(up, down) > 10_000:
+        raise ValueError(f"implausible resample ratio {orig_sr}->{new_sr}")
+    return resample_poly(x, up, down, axis=-1).astype(np.float32)
 
 
 def resolve_path(path: str | Path, dataset_root: str = "datasets") -> Path:

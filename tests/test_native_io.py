@@ -228,3 +228,51 @@ def test_wav_info_rejects_adpcm_and_oversized_fmt(tmp_path):
                             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                             16000, 8000, ctypes.byref(n))
     assert st != native.OK  # fallback status, process alive
+
+
+def test_fuzz_corrupt_bytes_never_crash(tmp_path):
+    """Header fuzzing: random garbage and bit-mutated valid WAVs must come
+    back as a fallback status (or a successful in-range decode), never a
+    crash — the failure mode the ADVICE hardening targets (SIGFPE on
+    ADPCM frame math, std::bad_alloc on a 4 GB fmt chunk)."""
+    t = np.arange(800) / 16000.0
+    base_path = tmp_path / "base.wav"
+    _write(base_path, (0.3 * np.sin(2 * np.pi * 300 * t)).astype(np.float32))
+    base = base_path.read_bytes()
+
+    blobs = []
+    for i in range(40):  # pure garbage, various sizes incl. tiny
+        blobs.append(bytes(RNG.integers(0, 256, int(RNG.integers(0, 200)),
+                                        dtype=np.uint8)))
+    for i in range(120):  # corrupt a valid header/body in-place
+        b = bytearray(base)
+        for _ in range(int(RNG.integers(1, 6))):
+            b[int(RNG.integers(0, min(len(b), 64)))] = int(RNG.integers(0, 256))
+        blobs.append(bytes(b))
+    # targeted: fmt chunk claiming ~4 GB, zero channels, ADPCM bits=4
+    for patch in [(16, (0xFF, 0xFF, 0xFF, 0x7F)),   # fmt size
+                  (22, (0, 0)),                     # channels = 0
+                  (34, (4, 0)),                     # bits_per_sample = 4
+                  (20, (2, 0))]:                    # format_tag = ADPCM
+        b = bytearray(base)
+        off, vals = patch
+        b[off:off + len(vals)] = bytes(vals)
+        blobs.append(bytes(b))
+
+    p = tmp_path / "fuzz.wav"
+    n_ok = 0
+    for blob in blobs:
+        p.write_bytes(blob)
+        info = native.wav_info(p)
+        samples, st = native.decode_wav(p, target_sr=16000,
+                                        max_samples=16000, min_samples=800)
+        if st == 0:
+            n_ok += 1
+            assert samples is not None and np.isfinite(samples).all()
+            assert np.abs(samples).max() <= 1.0 + 1e-6
+        else:
+            assert samples is None
+        # and the loader-level path must also survive via its Python
+        # fallback (zeros-on-error, preprocess.py:44-47 semantics)
+        wav = audio_io.load_audio(p, dataset_root=None)
+        assert np.isfinite(wav).all()
