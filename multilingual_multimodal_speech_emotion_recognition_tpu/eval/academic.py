@@ -37,6 +37,7 @@ import numpy as np
 from ..config import Config
 from ..data import pipeline as pipeline_mod
 from ..data.pipeline import BucketedLoader, SERDataset
+from ..data.manifest import SIX_CLASS_NAMES
 from ..data.tokenizer import Tokenizer, get_tokenizer
 from ..frontend import lid as lid_mod
 from ..frontend import quality_gates as qg
@@ -51,7 +52,7 @@ from . import slicing
 from . import wer as wer_mod
 from . import zero_shot as zs
 
-EMOTIONS_6 = ["angry", "happy", "sad", "neutral", "disgust", "fear"]
+EMOTIONS_6 = SIX_CLASS_NAMES  # one canonical label ordering (data/manifest.py)
 
 
 class _BatchCache:

@@ -164,6 +164,7 @@ def export_forward(params, cfg: ModelConfig, out_dir: str | Path, *,
         "with_dsp": with_dsp,
         "use_openmax": use_openmax,
         "wire": wire,
+        "sample_rate": int(sample_rate),  # serving resamples requests to this
         "platforms": list(exp.platforms),
         "config_json": config_json,
         # recorded so serving can fail fast on a tokenizer/artifact

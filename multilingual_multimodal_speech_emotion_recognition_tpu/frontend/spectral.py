@@ -95,22 +95,45 @@ def rms_frames(wave: Array, *, frame_length: int, hop: int) -> Array:
     """Per-frame RMS energy (librosa.feature.rms semantics, center=True,
     zero padding). [B, T] -> [B, F].
 
-    Computed from a cumulative sum of squares: one [B, T] pass plus 2F
-    scalar gathers, instead of materializing the [B, F, frame_length]
-    strided-frame gather (which re-reads each sample frame_length/hop
-    times — 2.5-4x the signal for the VAD/laughter framings). The zero
-    padding is realized by clamping the cumsum lookups to [0, T], which
-    is exact: padded samples contribute zero to the frame sum."""
+    Computed from cumulative sums of squares: one [B, T] pass plus a few
+    F-sized scalar gathers, instead of materializing the
+    [B, F, frame_length] strided-frame gather (which re-reads each sample
+    frame_length/hop times — 2.5-4x the signal for the VAD/laughter
+    framings). The zero padding is realized by clamping the prefix
+    lookups to [0, T], which is exact: padded samples contribute zero.
+
+    The prefix sums are CHUNK-LOCAL (reset every `chunk` samples): a
+    global f32 cumsum over a 30 s clip reaches ~1e5, so differencing it
+    for a quiet frame cancels catastrophically (RMS floor ~1e-2 instead
+    of 0, enough to drift the VAD threshold). A frame spans at most two
+    chunks (frame_length <= chunk), so each frame sum is at most
+    (tail of chunk k) + (head of chunk k+1) — every subtraction stays at
+    chunk-local magnitude and the rounding error is T-independent."""
     T = wave.shape[-1]
     pad = frame_length // 2
     num_frames = max(1 + (T + 2 * pad - frame_length) // hop, 1)
-    c = jnp.cumsum(jnp.square(wave.astype(jnp.float32)), axis=-1)
-    c = jnp.concatenate(
-        [jnp.zeros_like(c[..., :1]), c], axis=-1)      # c[i] = sum w[:i]^2
+    chunk = 4096
+    assert frame_length <= chunk, frame_length
+    K = max(-(-T // chunk), 1)
+    x2 = jnp.square(wave.astype(jnp.float32))
+    x2 = jnp.pad(x2, [(0, 0)] * (x2.ndim - 1) + [(0, K * chunk - T)])
+    x2 = x2.reshape(*x2.shape[:-1], K, chunk)
+    cl = jnp.cumsum(x2, axis=-1)                       # within-chunk prefixes
+    cl = jnp.concatenate([jnp.zeros_like(cl[..., :1]), cl], axis=-1)
+    cl_flat = cl.reshape(*cl.shape[:-2], K * (chunk + 1))
+    chunk_tot = cl[..., -1]                            # [..., K] exact sums
+
     starts = np.arange(num_frames) * hop - pad
-    lo = np.clip(starts, 0, T)
+    lo = np.clip(starts, 0, T)                         # prefix element counts
     hi = np.clip(starts + frame_length, 0, T)
-    sumsq = c[..., hi] - c[..., lo]
+    kb, ob = lo // chunk, lo % chunk
+    ke = np.minimum(hi // chunk, K - 1)                # hi == K*chunk -> tail
+    oe = hi - ke * chunk
+    same = kb == ke                                    # static [F] bools
+    head = cl_flat[..., ke * (chunk + 1) + oe]         # sum of chunk ke[:oe]
+    tail_b = cl_flat[..., kb * (chunk + 1) + ob]       # sum of chunk kb[:ob]
+    sumsq = jnp.where(same, head - tail_b,
+                      (chunk_tot[..., kb] - tail_b) + head)
     return jnp.sqrt(jnp.maximum(sumsq, 0.0) / frame_length)
 
 

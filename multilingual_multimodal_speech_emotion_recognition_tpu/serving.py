@@ -42,9 +42,8 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 from . import export as ex
+from .data.manifest import SIX_CLASS_NAMES as EMOTION_LABELS_6
 from .frontend import lid as lid_mod
-
-EMOTION_LABELS_6 = ["angry", "happy", "sad", "neutral", "disgust", "fear"]
 
 
 # ------------------------------------------------------------------ routing
@@ -86,7 +85,8 @@ class ArtifactRouter:
             (b, t), _ = shapes["audio"]
             self.buckets = [Bucket(art, int(t), int(b))]
             self.text_tokens = int(shapes["text_ids"][0][1])
-            self.sample_rate = 16000
+            # pre-sample_rate artifacts were all exported at 16 kHz
+            self.sample_rate = int(spec.get("sample_rate", 16000))
         else:
             raise FileNotFoundError(
                 f"{art}: neither index.json (bucketed export) nor "
@@ -179,6 +179,7 @@ class BatchingServer:
                              name=f"ser-batch-{b.audio_samples}")
             for b in self.router.buckets]
         self.stats = collections.Counter()
+        self._stats_lock = threading.Lock()  # Counter += is not atomic
         self._lat_ms: collections.deque = collections.deque(maxlen=2048)
         self._batch_fill: collections.deque = collections.deque(maxlen=2048)
         self._started = time.time()
@@ -194,13 +195,14 @@ class BatchingServer:
             raise ValueError("empty audio")
         req = _Pending(audio=audio, text=text or "")
         bucket = self.router.route(audio.size)
+        with self._stats_lock:   # count on entry so errors/timeouts show too
+            self.stats["requests"] += 1
         self._queues[id(bucket)].put(req)
         if not req.done.wait(timeout):
             raise TimeoutError("inference timed out")
         if req.error is not None:
             raise RuntimeError(req.error)
-        self.stats["requests"] += 1
-        self._lat_ms.append(
+        self._lat_ms.append(     # deque.append is atomic under the GIL
             (time.perf_counter() - req.t_enqueue) * 1e3)
         return req.result
 
@@ -256,9 +258,11 @@ class BatchingServer:
         except Exception as e:  # surface to every waiter, keep serving
             for r in reqs:
                 r.error = f"{type(e).__name__}: {e}"
-            self.stats["batch_errors"] += 1
+            with self._stats_lock:
+                self.stats["batch_errors"] += 1
         finally:
-            self.stats["batches"] += 1
+            with self._stats_lock:
+                self.stats["batches"] += 1
             self._batch_fill.append(len(reqs) / bucket.batch_size)
             for r in reqs:
                 r.done.set()
@@ -267,11 +271,15 @@ class BatchingServer:
         B, T = bucket.batch_size, bucket.audio_samples
         spec = bucket.model.spec["batch_spec"]
         int16_wire = spec["audio"][1] == "int16"
+        # Tail-pad rows keep ONE valid sample of silence, mirroring
+        # data/pipeline.py's padded-batch rule: a fully-masked row turns the
+        # masked softmaxes into 0/0 NaNs. The NaNs land in discarded rows
+        # today, but any batch-coupled op would spread them to real rows.
         if int16_wire:
             # wire-compact artifact: raw PCM + lengths, ~4x fewer bytes
             # to device; exact round-trip for b64-int16 request payloads
             audio = np.zeros((B, T), np.int16)
-            lens = np.zeros((B,), np.int32)
+            lens = np.ones((B,), np.int32)
             for i, r in enumerate(reqs):
                 w = r.audio[:T]
                 audio[i, :w.size] = np.clip(
@@ -280,6 +288,7 @@ class BatchingServer:
         else:
             audio = np.zeros((B, T), np.float32)
             mask = np.zeros((B, T), np.float32)
+            mask[:, 0] = 1.0
             for i, r in enumerate(reqs):
                 w = r.audio[:T]                  # trim over-length (route
                 audio[i, :w.size] = w            # already picked max bucket)

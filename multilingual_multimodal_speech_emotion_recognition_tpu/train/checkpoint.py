@@ -141,8 +141,17 @@ def save_checkpoint(path: str | Path, *, params, opt_state=None, step: int = 0,
                 # WRONG backbone into every checkpoint with no error.
                 try:
                     stored = json.loads(done.read_text()).get("fingerprint")
-                except (json.JSONDecodeError, OSError):
+                except (json.JSONDecodeError, AttributeError, OSError):
                     stored = None
+                if stored is None:
+                    # Legacy DONE marker (pre-fingerprint, literal "ok"):
+                    # verify by content — fingerprint the stored weights
+                    # themselves — and migrate the marker, instead of
+                    # aborting a resume into an older save_dir.
+                    stored = _frozen_fingerprint(
+                        _read_state(store / "state")["params"])
+                    if stored == fp:
+                        done.write_text(json.dumps({"fingerprint": fp}))
                 if stored != fp:
                     raise ValueError(
                         f"frozen_store at {store} was written for different "

@@ -176,88 +176,91 @@ def train(cfg: Config, *, train_manifest: str, val_manifest: str,
     f1 = 0.0
     guard = guard or PreemptionGuard()
     guard.__enter__()
+    try:
+        for epoch in range(start_epoch, tcfg.epochs):
+            t0 = time.time()
+            losses = []          # device scalars: loss sync deferred to log steps
+            t_window, n_window = time.time(), 0
 
-    for epoch in range(start_epoch, tcfg.epochs):
-        t0 = time.time()
-        losses = []          # device scalars: loss sync deferred to log steps
-        t_window, n_window = time.time(), 0
+            def put_train(b):
+                return mesh_lib.shard_batch(
+                    {k: v for k, v in b.items()
+                     if k not in pipeline_mod.TRAIN_HOST_KEYS}, mesh)
 
-        def put_train(b):
-            return mesh_lib.shard_batch(
-                {k: v for k, v in b.items()
-                 if k not in pipeline_mod.TRAIN_HOST_KEYS}, mesh)
-
-        # device transfer of batch N+1 overlaps step N (data/prefetch.py)
-        for dev_batch, batch in device_prefetch(train_loader.epoch(epoch),
-                                                put_train):
-            key, k_step = jax.random.split(key)
-            params, opt_state, metrics = step_fn(params, opt_state, dev_batch, k_step)
-            global_step += 1
-            n_window += 1
+            # device transfer of batch N+1 overlaps step N (data/prefetch.py)
+            for dev_batch, batch in device_prefetch(train_loader.epoch(epoch),
+                                                    put_train):
+                key, k_step = jax.random.split(key)
+                params, opt_state, metrics = step_fn(params, opt_state, dev_batch, k_step)
+                global_step += 1
+                n_window += 1
+                if guard.triggered:
+                    break
+                losses.append(metrics.loss)  # no host sync: keep device pipelined
+                if global_step % 50 == 0:
+                    # the float() here is the only host sync in the window
+                    now = time.time()
+                    writer.write({"kind": "step", "step": global_step,
+                                  "epoch": epoch, "loss": float(metrics.loss),
+                                  "ce": float(metrics.ce),
+                                  "focal": float(metrics.focal),
+                                  "accuracy": float(metrics.accuracy),
+                                  "utt_per_sec": n_window * tcfg.batch_size
+                                  / max(now - t_window, 1e-9)})
+                    t_window, n_window = time.time(), 0
+                    if progress:
+                        print(f"epoch {epoch} step {global_step} "
+                              f"loss {float(metrics.loss):.4f}")
             if guard.triggered:
-                break
-            losses.append(metrics.loss)  # no host sync: keep device pipelined
-            if global_step % 50 == 0:
-                # the float() here is the only host sync in the window
-                now = time.time()
-                writer.write({"kind": "step", "step": global_step,
-                              "epoch": epoch, "loss": float(metrics.loss),
-                              "ce": float(metrics.ce),
-                              "focal": float(metrics.focal),
-                              "accuracy": float(metrics.accuracy),
-                              "utt_per_sec": n_window * tcfg.batch_size
-                              / max(now - t_window, 1e-9)})
-                t_window, n_window = time.time(), 0
+                # Preempted: write a resumable checkpoint at the last completed
+                # step and exit. epoch-1 in the meta makes --resume_from restart
+                # the interrupted epoch (step count and optimizer state carry
+                # through, so the LR schedule continues where it stopped).
+                pre_path = save_root / f"preempt_step_{global_step}"
+                ckpt_lib.save_checkpoint(
+                    pre_path, params=params, opt_state=opt_state,
+                    step=global_step, epoch=epoch - 1, f1=max(best_f1, 0.0),
+                    config_json=to_json(cfg), dedup_frozen=tcfg.freeze_backbones,
+                    frozen_store=save_root / "frozen_store")
+                writer.write({"kind": "preempt", "step": global_step,
+                              "epoch": epoch, "checkpoint": str(pre_path)})
                 if progress:
-                    print(f"epoch {epoch} step {global_step} "
-                          f"loss {float(metrics.loss):.4f}")
-        if guard.triggered:
-            # Preempted: write a resumable checkpoint at the last completed
-            # step and exit. epoch-1 in the meta makes --resume_from restart
-            # the interrupted epoch (step count and optimizer state carry
-            # through, so the LR schedule continues where it stopped).
-            pre_path = save_root / f"preempt_step_{global_step}"
+                    print(f"Preemption signal: saved {pre_path} at step "
+                          f"{global_step}, exiting")
+                last_path = pre_path
+                break
+
+            train_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
+
+            ev = evaluate(params, cfg, val_loader, mesh)
+            f1 = weighted_f1(ev["preds"], ev["labels"], cfg.model.num_labels)
+            dt = time.time() - t0
+            history.append({"epoch": epoch, "train_loss": train_loss, "val_f1": f1,
+                            "seconds": dt})
+            writer.write({"kind": "epoch", **history[-1], "step": global_step})
+            if progress:
+                print(f"Epoch {epoch} F1: {f1:.4f} (loss {train_loss:.4f}, {dt:.1f}s)")
+
+            last_path = save_root / f"epoch_{epoch}_f1_{f1:.4f}"
+            last_meta = {"step": global_step, "epoch": epoch, "f1": f1}
             ckpt_lib.save_checkpoint(
-                pre_path, params=params, opt_state=opt_state,
-                step=global_step, epoch=epoch - 1, f1=max(best_f1, 0.0),
+                last_path, params=params, opt_state=opt_state, **last_meta,
                 config_json=to_json(cfg), dedup_frozen=tcfg.freeze_backbones,
                 frozen_store=save_root / "frozen_store")
-            writer.write({"kind": "preempt", "step": global_step,
-                          "epoch": epoch, "checkpoint": str(pre_path)})
-            if progress:
-                print(f"Preemption signal: saved {pre_path} at step "
-                      f"{global_step}, exiting")
-            last_path = pre_path
-            break
 
-        train_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
+            if f1 > best_f1:
+                best_f1, best_epoch, best_path = f1, epoch, last_path
+            elif (tcfg.early_stop_patience is not None
+                  and epoch - best_epoch >= tcfg.early_stop_patience):
+                if progress:
+                    print(f"Early stopping at epoch {epoch} (best {best_f1:.4f} "
+                          f"@ {best_epoch})")
+                break
 
-        ev = evaluate(params, cfg, val_loader, mesh)
-        f1 = weighted_f1(ev["preds"], ev["labels"], cfg.model.num_labels)
-        dt = time.time() - t0
-        history.append({"epoch": epoch, "train_loss": train_loss, "val_f1": f1,
-                        "seconds": dt})
-        writer.write({"kind": "epoch", **history[-1], "step": global_step})
-        if progress:
-            print(f"Epoch {epoch} F1: {f1:.4f} (loss {train_loss:.4f}, {dt:.1f}s)")
-
-        last_path = save_root / f"epoch_{epoch}_f1_{f1:.4f}"
-        last_meta = {"step": global_step, "epoch": epoch, "f1": f1}
-        ckpt_lib.save_checkpoint(
-            last_path, params=params, opt_state=opt_state, **last_meta,
-            config_json=to_json(cfg), dedup_frozen=tcfg.freeze_backbones,
-            frozen_store=save_root / "frozen_store")
-
-        if f1 > best_f1:
-            best_f1, best_epoch, best_path = f1, epoch, last_path
-        elif (tcfg.early_stop_patience is not None
-              and epoch - best_epoch >= tcfg.early_stop_patience):
-            if progress:
-                print(f"Early stopping at epoch {epoch} (best {best_f1:.4f} "
-                      f"@ {best_epoch})")
-            break
-
-    guard.__exit__()
+    finally:
+        # exception-safe: never leak the SIGTERM handler if the
+        # loop raises (checkpoint IO error, eval failure, Ctrl-C)
+        guard.__exit__()
     if guard.triggered:
         # fast exit on preemption — no val pass; the Weibull fit happens on
         # the resumed run's natural loop exit

@@ -83,3 +83,34 @@ def test_dedup_store_fingerprint_rejects_different_backbone(tmp_path):
     # same weights keep working (fingerprint matches, store reused)
     ckpt.save_checkpoint(tmp_path / "e1", params=params, epoch=1,
                          dedup_frozen=True, frozen_store=tmp_path / "store")
+
+def test_dedup_legacy_done_marker_migrates(tmp_path):
+    """Stores written before the fingerprint existed carry a literal "ok"
+    DONE marker. Resuming into such a save_dir must verify the stored
+    weights by content and migrate the marker — not abort the run."""
+    import json
+
+    cfg = tiny_config()
+    params = mdl.init_model(jax.random.key(3), cfg)
+    ckpt.save_checkpoint(tmp_path / "e0", params=params, epoch=0,
+                         dedup_frozen=True, frozen_store=tmp_path / "store")
+    done = tmp_path / "store" / "DONE"
+    done.write_text("ok")  # simulate the pre-fingerprint marker
+
+    # identical weights: verified by content, marker rewritten, save works
+    ckpt.save_checkpoint(tmp_path / "e1", params=params, epoch=1,
+                         dedup_frozen=True, frozen_store=tmp_path / "store")
+    assert json.loads(done.read_text())["fingerprint"]
+    r, _, _ = ckpt.restore_checkpoint(tmp_path / "e1")
+    _assert_tree_equal(r, params)
+
+    # legacy marker + actually-different weights must still raise
+    done.write_text("ok")
+    import pytest
+    other = dict(params)
+    other["audio_backbone"] = jax.tree.map(lambda x: x + 0.5,
+                                           params["audio_backbone"])
+    with pytest.raises(ValueError, match="fingerprint mismatch"):
+        ckpt.save_checkpoint(tmp_path / "e2", params=other, epoch=2,
+                             dedup_frozen=True,
+                             frozen_store=tmp_path / "store")

@@ -241,3 +241,36 @@ def test_preemption_checkpoint_and_resume(synth_data, tmp_path):
     # global step carried through the preempt checkpoint (LR schedule
     # continuity): resumed run starts from the preempted step count
     assert r2["history"][-1]["val_f1"] >= 0.0
+
+
+def test_preemption_guard_restored_when_loop_raises(synth_data, tmp_path):
+    """An exception inside train() must not leak the SIGTERM handler: the
+    guard's finally restores the previous handler so a later preemption
+    signal still terminates the process (code-review finding)."""
+    import signal
+
+    import pytest
+
+    root = synth_data
+    cfg = _config(root, tmp_path / "boom", epochs=1)
+    before = signal.getsignal(signal.SIGTERM)
+
+    class Boom(RuntimeError):
+        pass
+
+    class ExplodingGuard(loop.PreemptionGuard):
+        # raise AFTER the handler is installed, like a checkpoint-IO or
+        # eval failure early in the loop body would
+        @property
+        def triggered(self):
+            raise Boom("simulated failure inside the train loop")
+
+        @triggered.setter
+        def triggered(self, v):
+            pass
+
+    with pytest.raises(Boom):
+        loop.train(cfg, train_manifest=str(root / "train.jsonl"),
+                   val_manifest=str(root / "val.jsonl"), progress=False,
+                   guard=ExplodingGuard())
+    assert signal.getsignal(signal.SIGTERM) is before

@@ -455,3 +455,26 @@ def test_estimate_snr_shared_stft_matches_standalone():
     got = np.asarray(qg.estimate_snr(wave, mask, S=S_c[:, 2:2 + F_u]))
     want = np.asarray(qg.estimate_snr(wave, mask))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-3)
+
+
+def test_rms_frames_no_cancellation_on_long_clips():
+    # A global f32 cumsum of squares over 30 s of near-full-scale audio
+    # reaches ~2e5; differencing it for a digitally-silent frame used to
+    # leave an RMS floor of ~1e-2 that shifted the VAD threshold. The
+    # chunk-local prefixes must keep silent frames at (near-)zero RMS
+    # regardless of clip length or where the silence sits.
+    rng = np.random.default_rng(33)
+    T = 480_000  # 30 s @ 16 kHz
+    wave = (0.9 * rng.standard_normal(T)).astype(np.float32).clip(-1, 1)
+    wave[T - 64_000:T - 16_000] = 0.0  # silence late in the signal
+    got = np.asarray(sp.rms_frames(jnp.asarray(wave)[None],
+                                   frame_length=400, hop=160))[0]
+    # frames fully inside the silent stretch (pad=200 -> stay well inside)
+    f_lo = (T - 64_000 + 400) // 160 + 2
+    f_hi = (T - 16_000 - 400) // 160 - 2
+    assert got[f_lo:f_hi].max() < 1e-4, got[f_lo:f_hi].max()
+    # and loud frames still match the direct framing
+    pad = 400 // 2
+    w = np.pad(wave, (pad, pad))
+    direct = np.sqrt((w[100 * 160:100 * 160 + 400] ** 2).mean())
+    np.testing.assert_allclose(got[100], direct, rtol=2e-4)
