@@ -26,6 +26,16 @@ def main():
                         "'4:32,8:16,30:8') — one artifact per bucket under "
                         "out_dir plus an index.json; overrides "
                         "--batch_size/--audio_seconds")
+    p.add_argument("--autotune_buckets", type=int, default=None,
+                   help="derive N bucket caps from --manifest's duration "
+                        "distribution (exact minimum padded samples, "
+                        "data/bucketing.py) and export one artifact per cap "
+                        "at --batch_size; alternative to --buckets")
+    p.add_argument("--manifest", default=None,
+                   help="jsonl manifest probed for --autotune_buckets")
+    p.add_argument("--dataset_root", default=None,
+                   help="override the checkpoint config's dataset_root when "
+                        "probing --manifest durations")
     p.add_argument("--text_tokens", type=int, default=32)
     p.add_argument("--no_dsp", action="store_true",
                    help="expect precomputed quality/cond feats instead of "
@@ -54,6 +64,27 @@ def main():
     if args.int8:
         from multilingual_multimodal_speech_emotion_recognition_tpu.ops import quant
         params = quant.quantize_backbones(params)
+
+    if args.autotune_buckets:
+        if args.buckets:
+            p.error("--autotune_buckets and --buckets are exclusive")
+        if not args.manifest:
+            p.error("--autotune_buckets needs --manifest")
+        import dataclasses
+
+        from multilingual_multimodal_speech_emotion_recognition_tpu.data import (
+            bucketing, pipeline)
+        dcfg = cfg.data
+        if args.dataset_root is not None:
+            dcfg = dataclasses.replace(dcfg, dataset_root=args.dataset_root)
+        ds = pipeline.SERDataset(args.manifest, dcfg)
+        lengths = [ds.audio_length(i) for i in range(len(ds))]
+        caps = bucketing.autotune_audio_buckets(
+            lengths, args.autotune_buckets, dcfg.sample_rate)
+        print(bucketing.bucket_report(
+            lengths, [int(b * dcfg.sample_rate) for b in dcfg.audio_buckets],
+            [int(c * dcfg.sample_rate) for c in caps]), f"caps={caps}")
+        args.buckets = ",".join(f"{c}:{args.batch_size}" for c in caps)
 
     if args.buckets:
         try:

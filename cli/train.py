@@ -67,6 +67,11 @@ def main():
     p.add_argument("--mesh_dcn", type=int, default=1,
                    help="multi-slice pods: number of slices; pure data "
                         "parallelism over DCN, slice-major 'data' axis")
+    p.add_argument("--autotune_buckets", type=int, default=None,
+                   help="replace the default audio buckets with N caps that "
+                        "exactly minimize padded samples for the train "
+                        "manifest's duration distribution (each cap is one "
+                        "compiled shape; see data/bucketing.py)")
     p.add_argument("--preset", choices=["default", "crema_m3", "crema_final"],
                    default="default",
                    help="crema_m3 = train_crema.py knobs (6-class, softened "
@@ -117,6 +122,21 @@ def main():
                         scheduler="cosine_restarts", restart_period_epochs=3,
                         grad_clip=args.grad_clip or 1.0)
 
+    data_kw = dict(dataset_root=args.dataset_root,
+                   emit_asr_feats=args.use_asr)
+    if args.autotune_buckets:
+        from multilingual_multimodal_speech_emotion_recognition_tpu.data import (
+            bucketing, pipeline)
+        ds = pipeline.SERDataset(args.train_manifest, DataConfig(**data_kw))
+        lengths = [ds.audio_length(i) for i in range(len(ds))]
+        sr = ds.cfg.sample_rate
+        caps = bucketing.autotune_audio_buckets(
+            lengths, args.autotune_buckets, sr)
+        print(bucketing.bucket_report(
+            lengths, [int(b * sr) for b in ds.cfg.audio_buckets],
+            [int(c * sr) for c in caps]), f"caps={caps}")
+        data_kw["audio_buckets"] = caps
+
     from multilingual_multimodal_speech_emotion_recognition_tpu.config import (
         AUDIO_BACKBONE_PRESETS)
     cfg = Config(
@@ -128,8 +148,7 @@ def main():
             use_audio_conditioning=not args.no_audio_conditioning,
             use_asr=args.use_asr,
             audio=AUDIO_BACKBONE_PRESETS[args.audio_backbone]()),
-        data=DataConfig(dataset_root=args.dataset_root,
-                        emit_asr_feats=args.use_asr),
+        data=DataConfig(**data_kw),
         train=TrainConfig(**train_kw),
         mesh=MeshConfig(model_axis=args.mesh_model, dcn_data=args.mesh_dcn))
 

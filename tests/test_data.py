@@ -251,3 +251,65 @@ def test_loader_emits_asr_feats(tmp_path):
     np.testing.assert_allclose(batch["asr_feats"][0, 0], 1.0)
     np.testing.assert_allclose(batch["asr_feats"][0, 7], 1.0)
     np.testing.assert_allclose(batch["asr_feats"][0, 6], 3 / 50, atol=1e-6)
+
+
+def test_optimal_buckets_matches_bruteforce():
+    """DP bucket choice is exactly optimal: compare against exhaustive
+    search over all contiguous partitions on small random instances."""
+    import itertools
+    from multilingual_multimodal_speech_emotion_recognition_tpu.data import (
+        bucketing)
+
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        lengths = rng.integers(1, 40, size=rng.integers(3, 12)).tolist()
+        k = int(rng.integers(1, 4))
+        vals = sorted(set(lengths))
+        if len(vals) <= k:
+            caps = bucketing.optimal_buckets(lengths, k)
+            assert caps == vals  # zero padding achievable
+            continue
+
+        def total_pad(caps):
+            caps = sorted(caps)
+            pad = 0
+            for L in lengths:
+                cap = next(c for c in caps if c >= L)
+                pad += cap - L
+            return pad
+
+        # brute force: any subset of unique values containing the max
+        best = min(total_pad(list(combo) + [vals[-1]])
+                   for r in range(k) for combo in
+                   itertools.combinations(vals[:-1], r))
+        got = bucketing.optimal_buckets(lengths, k)
+        assert got[-1] == vals[-1]  # never truncates the longest clip
+        assert len(got) <= k
+        assert total_pad(got) == best, (lengths, k, got)
+
+
+def test_padded_fraction_and_report():
+    from multilingual_multimodal_speech_emotion_recognition_tpu.data import (
+        bucketing)
+
+    # all clips exactly at caps -> zero padding
+    assert bucketing.padded_fraction([10, 20, 20], [10, 20]) == 0.0
+    # one cap of 20 for lengths 10,20 -> pad 10 of 40 processed
+    np.testing.assert_allclose(
+        bucketing.padded_fraction([10, 20], [20]), 0.25)
+    # tuned caps never do worse than the default grid
+    rng = np.random.default_rng(3)
+    lengths = rng.integers(8000, 480000, 500)
+    default = [int(s * 16000) for s in (2.0, 4.0, 8.0, 16.0, 30.0)]
+    tuned = bucketing.optimal_buckets(lengths, 5)
+    assert (bucketing.padded_fraction(lengths, tuned)
+            <= bucketing.padded_fraction(lengths, default))
+    report = bucketing.bucket_report(lengths, default, tuned)
+    assert "->" in report
+
+
+def test_autotune_audio_buckets_rounds_up():
+    from multilingual_multimodal_speech_emotion_recognition_tpu.data import (
+        bucketing)
+    caps = bucketing.autotune_audio_buckets([16001, 16001, 64000], 2, 16000)
+    assert caps == (1.01, 4.0)  # rounded UP to 10 ms, never truncating
