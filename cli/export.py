@@ -73,17 +73,13 @@ def main():
         import dataclasses
 
         from multilingual_multimodal_speech_emotion_recognition_tpu.data import (
-            bucketing, pipeline)
+            bucketing)
         dcfg = cfg.data
         if args.dataset_root is not None:
             dcfg = dataclasses.replace(dcfg, dataset_root=args.dataset_root)
-        ds = pipeline.SERDataset(args.manifest, dcfg)
-        lengths = [ds.audio_length(i) for i in range(len(ds))]
-        caps = bucketing.autotune_audio_buckets(
-            lengths, args.autotune_buckets, dcfg.sample_rate)
-        print(bucketing.bucket_report(
-            lengths, [int(b * dcfg.sample_rate) for b in dcfg.audio_buckets],
-            [int(c * dcfg.sample_rate) for c in caps]), f"caps={caps}")
+        caps, report = bucketing.autotune_from_manifest(
+            args.manifest, dcfg, args.autotune_buckets)
+        print(report, f"caps={caps}")
         args.buckets = ",".join(f"{c}:{args.batch_size}" for c in caps)
 
     if args.buckets:

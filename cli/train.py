@@ -126,15 +126,10 @@ def main():
                    emit_asr_feats=args.use_asr)
     if args.autotune_buckets:
         from multilingual_multimodal_speech_emotion_recognition_tpu.data import (
-            bucketing, pipeline)
-        ds = pipeline.SERDataset(args.train_manifest, DataConfig(**data_kw))
-        lengths = [ds.audio_length(i) for i in range(len(ds))]
-        sr = ds.cfg.sample_rate
-        caps = bucketing.autotune_audio_buckets(
-            lengths, args.autotune_buckets, sr)
-        print(bucketing.bucket_report(
-            lengths, [int(b * sr) for b in ds.cfg.audio_buckets],
-            [int(c * sr) for c in caps]), f"caps={caps}")
+            bucketing)
+        caps, report = bucketing.autotune_from_manifest(
+            args.train_manifest, DataConfig(**data_kw), args.autotune_buckets)
+        print(report, f"caps={caps}")
         data_kw["audio_buckets"] = caps
 
     from multilingual_multimodal_speech_emotion_recognition_tpu.config import (

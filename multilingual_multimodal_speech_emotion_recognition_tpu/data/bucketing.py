@@ -29,6 +29,16 @@ from typing import List, Sequence, Tuple
 import numpy as np
 
 
+def seconds_to_samples(seconds: float, sample_rate: int) -> int:
+    """Bucket-cap seconds -> samples. round(), not int(): truncation breaks
+    the never-truncate guarantee on caps whose float product lands just
+    under the integer they encode (8.04 * 16000 = 128639.999..., so
+    int() would shave the longest clip to 128639 samples and push interior
+    caps' own clips into the next bucket). Every autotuned cap is a whole
+    number of centiseconds, so the product is within 1e-6 of an integer."""
+    return int(round(seconds * sample_rate))
+
+
 def padded_fraction(lengths: Sequence[int],
                     caps: Sequence[int]) -> float:
     """Fraction of processed samples that are padding under `caps`.
@@ -116,3 +126,20 @@ def bucket_report(lengths: Sequence[int], default_caps: Sequence[int],
     t = padded_fraction(lengths, tuned_caps)
     return (f"bucket autotune: padded fraction {d:.1%} -> {t:.1%} "
             f"({len(tuned_caps)} caps)")
+
+
+def autotune_from_manifest(manifest: str, dcfg, k: int
+                           ) -> Tuple[Tuple[float, ...], str]:
+    """Probe `manifest`'s clip durations and return (caps_seconds, report).
+
+    The one entry point behind `--autotune_buckets` on both the train and
+    export CLIs, so the probe/report logic can't drift between them."""
+    from .pipeline import SERDataset  # lazy: pipeline imports this module
+    ds = SERDataset(manifest, dcfg)
+    lengths = [ds.audio_length(i) for i in range(len(ds))]
+    sr = dcfg.sample_rate
+    caps = autotune_audio_buckets(lengths, k, sr)
+    report = bucket_report(
+        lengths, [seconds_to_samples(b, sr) for b in dcfg.audio_buckets],
+        [seconds_to_samples(c, sr) for c in caps])
+    return caps, report

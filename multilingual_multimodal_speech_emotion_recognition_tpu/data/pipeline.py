@@ -24,7 +24,7 @@ import numpy as np
 
 from ..config import DataConfig
 from ..frontend import lid as lid_mod
-from . import audio_io, manifest as manifest_lib
+from . import audio_io, bucketing, manifest as manifest_lib
 from .tokenizer import Tokenizer, get_tokenizer
 
 # batch keys that stay on host: eval steps also drop labels
@@ -107,7 +107,8 @@ class BucketedLoader:
         self.drop_remainder = drop_remainder
         self.num_workers = num_workers
         cfg = dataset.cfg
-        self.bucket_samples = [int(b * cfg.sample_rate) for b in cfg.audio_buckets]
+        self.bucket_samples = [bucketing.seconds_to_samples(b, cfg.sample_rate)
+                               for b in cfg.audio_buckets]
         self._lengths = [dataset.audio_length(i) for i in range(len(dataset))]
 
     def _bucket_of(self, length: int) -> int:

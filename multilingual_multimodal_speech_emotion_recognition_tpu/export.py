@@ -26,6 +26,7 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 
 from .config import ModelConfig
+from .data import bucketing
 
 OUTPUTS = ("logits", "uncertainty", "features")
 
@@ -128,7 +129,7 @@ def export_forward(params, cfg: ModelConfig, out_dir: str | Path, *,
 
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
-    T = int(audio_seconds * sample_rate)
+    T = bucketing.seconds_to_samples(audio_seconds, sample_rate)
     spec = _batch_spec(batch_size, T, text_tokens, with_dsp, wire)
 
     # store the artifact in f32 (npz has no bfloat16); model_forward casts
@@ -197,7 +198,8 @@ def export_buckets(params, cfg: ModelConfig, out_dir: str | Path, *,
                        with_dsp=with_dsp, use_openmax=use_openmax,
                        wire=wire, config_json=config_json)
         index.append({"dir": name, "audio_seconds": float(audio_seconds),
-                      "audio_samples": int(audio_seconds * sample_rate),
+                      "audio_samples": bucketing.seconds_to_samples(
+                          audio_seconds, sample_rate),
                       "batch_size": int(batch_size)})
     index.sort(key=lambda e: e["audio_seconds"])
     (out / "index.json").write_text(json.dumps({

@@ -190,6 +190,8 @@ class BatchingServer:
 
     def submit(self, audio: np.ndarray, text: str = "",
                timeout: float = 60.0) -> Dict:
+        if self._stop.is_set():
+            raise RuntimeError("server shutting down")
         audio = np.asarray(audio, np.float32).reshape(-1)
         if audio.size == 0:
             raise ValueError("empty audio")
@@ -198,6 +200,12 @@ class BatchingServer:
         with self._stats_lock:   # count on entry so errors/timeouts show too
             self.stats["requests"] += 1
         self._queues[id(bucket)].put(req)
+        if self._stop.is_set():
+            # close() may have drained the queues before our put landed
+            # (stop is set before the drain, so seeing it here is enough);
+            # re-drain so this request fails fast instead of waiting out
+            # its full timeout in a workerless queue.
+            self._fail_stragglers()
         if not req.done.wait(timeout):
             raise TimeoutError("inference timed out")
         if req.error is not None:
@@ -212,9 +220,13 @@ class BatchingServer:
             self._queues[id(b)].put(None)  # wake workers
         for w in self._workers:
             w.join(timeout=5.0)
-        # fail-fast any requests that were queued but never picked up, so
-        # their submit() callers get an immediate error instead of hanging
-        # until their timeout during shutdown
+        self._fail_stragglers()
+
+    def _fail_stragglers(self):
+        """Fail-fast any requests that were queued but never picked up, so
+        their submit() callers get an immediate error instead of hanging
+        until their timeout during shutdown. Idempotent — also re-run from
+        submit() when a put races close()'s drain."""
         for b in self.router.buckets:
             q = self._queues[id(b)]
             while True:
@@ -380,8 +392,43 @@ def _decode_audio(payload: Dict, target_sr: int) -> np.ndarray:
 
 def make_http_server(core: BatchingServer, host: str = "127.0.0.1",
                      port: int = 8080):
-    """Build (but don't start) the ThreadingHTTPServer bound to the core."""
+    """Build (but don't start) the ThreadingHTTPServer bound to the core.
+
+    ThreadingHTTPServer sets daemon_threads=True, which makes socketserver
+    skip tracking handler threads entirely — server_close() joins NOTHING.
+    The subclass counts in-flight handlers itself so serve() can actually
+    wait for them (bounded) before tearing down the batching core."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class DrainableServer(ThreadingHTTPServer):
+        # keep daemon_threads=True so a handler wedged on a dead client
+        # socket can never block process exit; drain via wait_inflight.
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            self._inflight = 0
+            self._inflight_cv = threading.Condition()
+
+        def process_request_thread(self, request, client_address):
+            with self._inflight_cv:
+                self._inflight += 1
+            try:
+                super().process_request_thread(request, client_address)
+            finally:
+                with self._inflight_cv:
+                    self._inflight -= 1
+                    self._inflight_cv.notify_all()
+
+        def wait_inflight(self, timeout: float) -> bool:
+            """Block until every in-flight handler finished (True) or the
+            timeout elapsed with handlers still running (False)."""
+            deadline = time.monotonic() + timeout
+            with self._inflight_cv:
+                while self._inflight:
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        return False
+                    self._inflight_cv.wait(remaining)
+            return True
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet; stats endpoint replaces it
@@ -424,19 +471,20 @@ def make_http_server(core: BatchingServer, host: str = "127.0.0.1",
             except Exception as e:
                 self._send(500, {"error": f"{type(e).__name__}: {e}"})
 
-    return ThreadingHTTPServer((host, port), Handler)
+    return DrainableServer((host, port), Handler)
 
 
 def serve(art_dir: str, *, host: str = "127.0.0.1", port: int = 8080,
           max_wait_ms: float = 15.0, preload: bool = True,
-          tokenizer=None) -> None:
+          tokenizer=None, drain_timeout: float = 30.0) -> None:
     """Blocking entry point used by cli/serve.py.
 
     Graceful drain on SIGTERM (the signal schedulers/orchestrators send
-    before reclaiming the pod): stop accepting connections, let in-flight
-    handler threads finish (server_close joins them), run the workers'
-    final partial batches, then fail any never-picked-up queue stragglers
-    fast. Mirrors the train loop's PreemptionGuard (train/loop.py)."""
+    before reclaiming the pod): stop accepting connections, wait (bounded
+    by drain_timeout) for in-flight handler threads to finish, run the
+    workers' final partial batches, then fail any never-picked-up queue
+    stragglers fast. Mirrors the train loop's PreemptionGuard
+    (train/loop.py)."""
     import signal
 
     router = ArtifactRouter(art_dir, preload=preload)
@@ -461,6 +509,9 @@ def serve(art_dir: str, *, host: str = "127.0.0.1", port: int = 8080,
     finally:
         if prev is not None:
             signal.signal(signal.SIGTERM, prev)
-        httpd.server_close()    # joins in-flight request threads
+        httpd.server_close()    # closes the listening socket only
+        drained = httpd.wait_inflight(drain_timeout)
         core.close()
-        print("drained, exiting", flush=True)
+        print("drained, exiting" if drained else
+              f"drain timeout ({drain_timeout}s) with handlers still "
+              f"in flight, exiting", flush=True)

@@ -104,6 +104,17 @@ def make_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig, tx,
                 speed_per_batch=train_cfg.augment_speed_per_batch)
             batch = {**batch, "audio": wave, "audio_mask": mask}
 
+        if train_cfg.consistency_aug_weight > 0:
+            # one coin per OPTIMIZER batch (train_crema_final.py:283 flips
+            # per step): under grad_accum the gate must not be re-flipped
+            # per microbatch, or one update could mix gated/ungated
+            # microbatches — a composition the accum=1 path can't produce
+            rng, k_gate = jax.random.split(rng)
+            aug_gate = (jax.random.uniform(k_gate)
+                        < train_cfg.consistency_aug_fraction)
+        else:
+            aug_gate = None
+
         def loss_fn(p, key, mb):
             loss, metrics = compute_loss(p, model_cfg, train_cfg, mb,
                                          dropout_key=key, deterministic=False)
@@ -112,7 +123,7 @@ def make_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig, tx,
                 # independently-augmented view, extra CE on a fraction of
                 # steps (jnp.where keeps the graph static)
                 from ..ops import audio_dsp, losses as loss_ops
-                k_gate, k_aug2, k_drop = jax.random.split(key, 3)
+                k_aug2, k_drop = jax.random.split(key)
                 wave2, mask2 = audio_dsp.augment_batch(
                     k_aug2, mb["audio"], mb["audio_mask"],
                     speed_per_batch=train_cfg.augment_speed_per_batch)
@@ -124,10 +135,8 @@ def make_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig, tx,
                 ce2 = loss_ops.label_smoothing_cross_entropy(
                     out2.logits, mb["labels"],
                     smoothing=train_cfg.label_smoothing)
-                apply = (jax.random.uniform(k_gate)
-                         < train_cfg.consistency_aug_fraction)
                 loss = loss + jnp.where(
-                    apply, train_cfg.consistency_aug_weight * ce2, 0.0)
+                    aug_gate, train_cfg.consistency_aug_weight * ce2, 0.0)
                 # keep telemetry equal to the optimized objective
                 metrics = metrics._replace(loss=loss)
             return loss, metrics

@@ -34,10 +34,6 @@ ITERS = 5
 PRESETS = ("wav2vec2-large", "hubert-large", "wavlm-large")
 
 
-def _sync(x):
-    return np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[:1]
-
-
 def bench_preset(name: str, *, int8: bool = False):
     import jax
     import jax.numpy as jnp

@@ -13,7 +13,20 @@ lazily, so flipping the config here (before any computation runs) is
 sufficient to keep the whole test suite on the local CPU backend.
 """
 
-import jax
+import os
+
+# XLA's in-process CPU collectives ABORT the process when a rendezvous
+# exceeds 40 s; one starved virtual-device thread on a loaded host kills the
+# whole pytest run spuriously. Raise the deadline — these are correctness
+# tests, not latency tests. (Backends initialize lazily, so setting the env
+# here, before any computation, still takes effect.)
+_flags = os.environ.get("XLA_FLAGS", "")
+if "collective_call_terminate_timeout" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_cpu_collective_call_terminate_timeout_seconds=600"
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120").strip()
+
+import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)

@@ -313,3 +313,22 @@ def test_autotune_audio_buckets_rounds_up():
         bucketing)
     caps = bucketing.autotune_audio_buckets([16001, 16001, 64000], 2, 16000)
     assert caps == (1.01, 4.0)  # rounded UP to 10 ms, never truncating
+
+
+def test_seconds_to_samples_roundtrip_every_centisecond():
+    """The never-truncate guarantee crosses a seconds<->samples round-trip:
+    autotune returns centisecond caps, the pipeline converts them back to
+    samples. int() floors 37 of the first 6000 centisecond values at 16 kHz
+    (e.g. int(8.04*16000)==128639); seconds_to_samples must be exact."""
+    from multilingual_multimodal_speech_emotion_recognition_tpu.data import (
+        bucketing)
+    for cs in range(1, 6001):               # 0.01 s .. 60.00 s
+        assert bucketing.seconds_to_samples(cs / 100, 16000) == cs * 160
+    # the motivating case end-to-end: the longest clip defines a cap that
+    # must hold exactly that many samples after the round-trip
+    lengths = [32000, 64000, 128640]        # 8.04 s clip
+    caps = bucketing.autotune_audio_buckets(lengths, 2, 16000)
+    caps_samples = [bucketing.seconds_to_samples(c, 16000) for c in caps]
+    assert max(caps_samples) >= 128640
+    for n in lengths:
+        assert any(n <= cs for cs in caps_samples)

@@ -10,6 +10,7 @@ endpoints (predict / healthz / stats, float and base64-int16 payloads).
 import base64
 import json
 import threading
+import time
 import urllib.request
 
 import numpy as np
@@ -317,3 +318,68 @@ def test_close_fails_queued_stragglers_fast(bucketed_artifact):
     core.close()                      # idempotent; drains the straggler
     assert req.done.is_set()
     assert req.error == "server shutting down"
+
+
+def test_submit_after_close_fails_fast(bucketed_artifact):
+    """submit() must refuse new work once close() ran — not enqueue into a
+    workerless queue and block for its full timeout."""
+    art, _, _ = bucketed_artifact
+    core = _core(art)
+    core.close()
+    t0 = time.perf_counter()
+    with pytest.raises(RuntimeError, match="shutting down"):
+        core.submit(np.zeros(100, np.float32), timeout=30.0)
+    assert time.perf_counter() - t0 < 5.0
+
+
+def test_submit_racing_close_fails_fast(bucketed_artifact, monkeypatch):
+    """A put() landing after close()'s straggler drain (stop-flag set
+    between submit's entry check and its enqueue) must still fail fast:
+    submit re-drains when it sees the stop flag post-put."""
+    art, _, _ = bucketed_artifact
+    core = _core(art)
+    orig_route = core.router.route
+
+    def route_then_close(n):
+        b = orig_route(n)
+        core.close()          # races in after submit()'s entry check
+        return b
+
+    monkeypatch.setattr(core.router, "route", route_then_close)
+    t0 = time.perf_counter()
+    with pytest.raises(RuntimeError, match="shutting down"):
+        core.submit(np.zeros(100, np.float32), timeout=30.0)
+    assert time.perf_counter() - t0 < 10.0
+
+
+def test_http_server_waits_for_inflight_handlers(bucketed_artifact):
+    """ThreadingHTTPServer's daemon_threads=True means socketserver tracks
+    (and server_close() joins) NO handler threads; the DrainableServer
+    subclass counts them itself so serve()'s drain is real."""
+    art, _, _ = bucketed_artifact
+    core = _core(art, max_wait_ms=300.0)  # hold batches open: slow handler
+    httpd = serving.make_http_server(core, "127.0.0.1", 0)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        assert httpd.wait_inflight(0.1)   # idle: nothing in flight
+        wave = (RNG.standard_normal(1000) * 0.1).astype(np.float32)
+        t = threading.Thread(
+            target=_post, args=(url, {"audio": wave.tolist()}), daemon=True)
+        t.start()
+        deadline = time.perf_counter() + 5.0
+        while time.perf_counter() < deadline:      # request reaches handler
+            with httpd._inflight_cv:
+                if httpd._inflight:
+                    break
+            time.sleep(0.005)
+        else:
+            pytest.fail("request never became in-flight")
+        assert not httpd.wait_inflight(0.05)  # handler blocked in submit()
+        assert httpd.wait_inflight(30.0)      # finishes after the batch runs
+        t.join(timeout=10.0)
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        core.close()

@@ -194,3 +194,34 @@ def test_grad_accum_rejects_indivisible_batch():
     import pytest
     with pytest.raises(ValueError, match="divisible"):
         step(params, tx.init(params), batch, jax.random.key(1))
+
+
+def test_consistency_gate_is_per_optimizer_batch_under_accum():
+    """The consistency-augmentation coin is flipped once per OPTIMIZER batch
+    (train_crema_final.py:283 flips per step), so under grad_accum the loss
+    must land exactly on the fraction=0 or fraction=1 endpoint — never
+    between (which a per-microbatch coin would produce when microbatches
+    disagree)."""
+    import optax
+    cfg = tiny_config()
+    params = mdl.init_model(jax.random.key(0), cfg)
+    batch = _with_labels(tiny_batch())  # B=4 -> 2 microbatches of 2
+    steps, states = {}, {}
+    for frac in (0.0, 0.5, 1.0):
+        tcfg = TrainConfig(epochs=1, grad_accum=2, focal_weight=0.0,
+                           consistency_aug_weight=0.3,
+                           consistency_aug_fraction=frac)
+        tx = optax.sgd(0.1)
+        steps[frac] = ts.make_train_step(cfg, tcfg, tx, donate=False)
+        states[frac] = tx.init(params)
+    saw = set()
+    for seed in range(6):
+        losses = {f: float(steps[f](params, states[f], batch,
+                                    jax.random.key(seed))[2].loss)
+                  for f in steps}
+        assert losses[1.0] > losses[0.0]  # the gated term is a positive CE
+        # all-or-nothing: identical rng consumption across fractions makes
+        # the endpoint match bitwise when the (single) coin lands that way
+        assert losses[0.5] in (losses[0.0], losses[1.0])
+        saw.add(losses[0.5] == losses[1.0])
+    assert saw == {True, False}  # both coin outcomes observed across seeds
