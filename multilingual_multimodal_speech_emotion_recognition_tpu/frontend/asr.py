@@ -17,7 +17,8 @@ Parity with /root/reference/src/models/asr_integration.py:
   * ConfidenceAwareTextProcessor mask: conf<0.3→0, <0.6→0.3, else 1;
     text_reliability = mean word confidence (:465-514)
   * 8-dim ASR feature vector (:584-600); its learned 8→32→8 projection
-    lives in the model parameter tree (models/model.py asr_fusion)
+    lives in the model parameter tree (models/model.py `asr_proj`, applied
+    in encode_text before the asr_fusion block)
 """
 
 from __future__ import annotations

@@ -330,7 +330,8 @@ def condition_audio(wave: Array, mask: Array, *,
     notch → HPF → denoise → dereverb → loudness. Returns
     (conditioned_wave, stats); stats.features is the raw 12-dim vector of
     audio_conditioning.py:562-579 (its learned 12→32→12 projection lives in
-    the model parameter tree)."""
+    the model parameter tree: models/model.py `cond_proj`, applied in
+    encode_audio before the feature-fusion block)."""
     # Fused notch+HPF stage: one Welch pass and at most one full-length fft
     # round trip. The sequential formulation (hum_notch then hpf_decision
     # on the filtered signal then apply_hpf) costs a second Welch pass and

@@ -189,7 +189,8 @@ def quality_gates(wave: Array, mask: Array, *, lid_entropy: Array,
     processed_wave is zeroed where the abstain decision is 'reject'
     (quality_gates.py:561-567). stats.features is the raw 8-dim vector of
     quality_gates.py:543-556 — the learned 8→32→8 projection lives in the
-    model parameter tree (models/model.py feature-fusion blocks).
+    model parameter tree (models/model.py `quality_proj`, applied in
+    encode_audio before the feature-fusion block).
     """
     speech_prob = energy_vad(wave, mask, sample_rate=sample_rate)
     clip_pct = clipping_percent(wave, mask)

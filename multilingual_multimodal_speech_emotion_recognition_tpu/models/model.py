@@ -51,8 +51,27 @@ def _init_feature_fusion(key, hid: int, extra: int, dtype) -> dict:
     return {"lin": layers.init_linear(key, hid + extra, hid, dtype=dtype)}
 
 
+def _init_feature_proj(key, dim: int, dtype) -> dict:
+    """Learned d->32->d projection the reference applies to each front-end
+    feature vector before fusing it into the encoder sequence:
+    quality 8->32->8 (quality_gates.py:438-444, applied :554), conditioning
+    12->32->12 (audio_conditioning.py:455-460, applied :578), ASR 8->32->8
+    (asr_integration.py:536-541, applied :598)."""
+    k1, k2 = jax.random.split(key)
+    return {"lin1": layers.init_linear(k1, dim, 32, dtype=dtype),
+            "lin2": layers.init_linear(k2, 32, dim, dtype=dtype)}
+
+
+def _feature_proj(p: dict, feats: Array, *, dropout_key,
+                  deterministic: bool) -> Array:
+    """Linear(d,32) -> ReLU -> Dropout(0.1) -> Linear(32,d)."""
+    h = jax.nn.relu(layers.linear(p["lin1"], feats))
+    h = layers.dropout(dropout_key, h, 0.1, deterministic)
+    return layers.linear(p["lin2"], h)
+
+
 def init_model(key: Array, cfg: ModelConfig, dtype=jnp.float32) -> dict:
-    ks = jax.random.split(key, 16)
+    ks = jax.random.split(key, 18)
     ah, th = cfg.audio_hidden, cfg.text_hidden
     params = {
         "audio_backbone": w2v.init_wav2vec2(ks[0], cfg.audio, dtype),
@@ -66,6 +85,11 @@ def init_model(key: Array, cfg: ModelConfig, dtype=jnp.float32) -> dict:
             "up": layers.init_linear(ks[5], cfg.adapter_dim, th, dtype=dtype),
         },
         "asr_fusion": _init_feature_fusion(ks[6], th, 8, dtype),
+        # ASR projection mirrors asr_fusion's unconditional init (the
+        # reference keeps asr_fusion "regardless to keep shapes stable",
+        # text_encoder.py:26-30; its asr_projection lives in the lazily
+        # created EnhancedASRIntegration, asr_integration.py:536-541)
+        "asr_proj": _init_feature_proj(ks[15], 8, dtype),
         "cross": cma.init_cross_modal_attention(ks[7], ah, th, cfg.shared_dim,
                                                 cfg.num_heads, dtype),
         "pool_a": pooling_ops.init_attentive_stats_pooling(ks[8], ah, dtype=dtype),
@@ -83,6 +107,10 @@ def init_model(key: Array, cfg: ModelConfig, dtype=jnp.float32) -> dict:
         params["quality_fusion"] = _init_feature_fusion(ks[13], ah, 8, dtype)
     elif cfg.use_audio_conditioning:
         params["conditioning_fusion"] = _init_feature_fusion(ks[13], ah, 12, dtype)
+    if cfg.use_quality_gates:
+        params["quality_proj"] = _init_feature_proj(ks[14], 8, dtype)
+    if cfg.use_audio_conditioning:
+        params["cond_proj"] = _init_feature_proj(ks[16], 12, dtype)
     return params
 
 
@@ -122,9 +150,9 @@ def encode_audio(params: dict, cfg: ModelConfig, wave: Array, wave_mask: Array,
                  spec_augment: bool = False):
     """[B, T] waveform -> ([B, T', ah] sequence, [B, T'] frame mask)."""
     if dropout_key is not None:
-        k_bb, k_f = jax.random.split(dropout_key)
+        k_bb, k_f, k_pq, k_pc = jax.random.split(dropout_key, 4)
     else:
-        k_bb = k_f = None
+        k_bb = k_f = k_pq = k_pc = None
     seq, frame_mask = w2v.wav2vec2_encode(
         params["audio_backbone"], cfg.audio, wave, wave_mask,
         deterministic=deterministic, dropout_key=k_bb,
@@ -136,6 +164,15 @@ def encode_audio(params: dict, cfg: ModelConfig, wave: Array, wave_mask: Array,
         B = seq.shape[0]
         q = quality_feats if quality_feats is not None else jnp.zeros((B, 8), seq.dtype)
         c = cond_feats if cond_feats is not None else jnp.zeros((B, 12), seq.dtype)
+        # learned d->32->d projections the reference applies to the raw
+        # feature vectors before fusion (quality_gates.py:554,
+        # audio_conditioning.py:578)
+        if uq:
+            q = _feature_proj(params["quality_proj"], q.astype(seq.dtype),
+                              dropout_key=k_pq, deterministic=deterministic)
+        if uc:
+            c = _feature_proj(params["cond_proj"], c.astype(seq.dtype),
+                              dropout_key=k_pc, deterministic=deterministic)
         if uq and uc:
             seq = _feature_fuse(params["combined_fusion"], seq,
                                 jnp.concatenate([q, c], axis=-1),
@@ -157,15 +194,19 @@ def encode_text(params: dict, cfg: ModelConfig, input_ids: Array,
                 deterministic: bool = True, dropout_key=None):
     """[B, S] token ids -> ([B, S, th] sequence, [B, S] mask)."""
     if dropout_key is not None:
-        k_bb, k_f = jax.random.split(dropout_key)
+        k_bb, k_f, k_p = jax.random.split(dropout_key, 3)
     else:
-        k_bb = k_f = None
+        k_bb = k_f = k_p = None
     seq = xlmr_mod.xlmr_encode(params["text_backbone"], cfg.text, input_ids,
                                text_mask, deterministic=deterministic,
                                dropout_key=k_bb, remat=cfg.remat_encoders)
     seq = _adapter(params["text_adapter"], seq)
     if cfg.use_asr and asr_feats is not None:
-        seq = _feature_fuse(params["asr_fusion"], seq, asr_feats,
+        # the reference projects ASR features inside EnhancedASRIntegration
+        # before fusing (asr_integration.py:598)
+        asr_p = _feature_proj(params["asr_proj"], asr_feats.astype(seq.dtype),
+                              dropout_key=k_p, deterministic=deterministic)
+        seq = _feature_fuse(params["asr_fusion"], seq, asr_p,
                             dropout_rate=0.1, dropout_key=k_f,
                             deterministic=deterministic)
     return seq, text_mask

@@ -83,9 +83,16 @@ def param_labels(params: dict, *, freeze_backbones: bool = True) -> dict:
         elif name in ("text_backbone",):
             g = "frozen" if freeze_backbones else "text"
         elif name in ("audio_adapter", "combined_fusion", "quality_fusion",
-                      "conditioning_fusion"):
+                      "conditioning_fusion", "quality_proj", "cond_proj"):
+            # the feature projections live inside audio_encoder's submodules
+            # in the reference (quality_gates.py:438, audio_conditioning.py:455)
+            # so they ride the encoder param group (train.py:72-75)
             g = "audio"
-        elif name in ("text_adapter", "asr_fusion"):
+        elif name in ("text_adapter", "asr_fusion", "asr_proj"):
+            # asr_proj: the reference's asr_projection is created lazily
+            # AFTER optimizer construction (text_encoder.py:39-48) and thus
+            # never trained there — we put it with the text group instead
+            # (documented divergence; the reference behavior is a bug class)
             g = "text"
         elif name in ("cross", "pool_a", "pool_t", "fusion"):
             g = "mid"

@@ -450,3 +450,67 @@ def test_composed_heads_path_matches_reference():
                                rtol=1e-4, atol=5e-5)
     np.testing.assert_allclose(np.asarray(out.uncertainty), r_unc.numpy(),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_feature_projections_match_reference_structure():
+    """The learned d->32->d front-end feature projections: quality 8->32->8
+    (quality_gates.py:438-444, applied :554), conditioning 12->32->12
+    (audio_conditioning.py:455-460, applied :578), ASR 8->32->8
+    (asr_integration.py:536-541, applied :598). Those reference files import
+    librosa/transformers at module top level (unavailable here), so the
+    4-line Sequential is rebuilt verbatim instead of imported."""
+    for dim in (8, 12):
+        torch.manual_seed(dim)
+        seq = torch.nn.Sequential(
+            torch.nn.Linear(dim, 32), torch.nn.ReLU(),
+            torch.nn.Dropout(0.1), torch.nn.Linear(32, dim)).eval()
+        p = jax.tree.map(jnp.asarray,
+                         {"lin1": _lin(seq[0]), "lin2": _lin(seq[3])})
+        x = RNG.standard_normal((5, dim)).astype(np.float32)
+        ours = mdl._feature_proj(p, jnp.asarray(x), dropout_key=None,
+                                 deterministic=True)
+        with torch.no_grad():
+            ref = seq(torch.from_numpy(x)).numpy()
+        np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-5,
+                                   atol=1e-6)
+
+
+def test_feature_projections_are_wired_into_the_encoders():
+    """Perturbing each projection's output bias must move the logits —
+    guards against the round-2 state where the projections existed only in
+    docstrings while raw features were fused directly."""
+    from multilingual_multimodal_speech_emotion_recognition_tpu.config import (
+        Wav2Vec2Config, XLMRConfig)
+    cfg = ModelConfig(
+        num_labels=4, adapter_dim=8, shared_dim=16, num_heads=4, proj_dim=32,
+        classifier_layers=2, classifier_base_dim=32, frontend_dsp=False,
+        use_asr=True,
+        audio=Wav2Vec2Config(conv_dim=(8, 8), conv_stride=(10, 8),
+                             conv_kernel=(10, 3), hidden_size=16,
+                             num_hidden_layers=1, num_attention_heads=4,
+                             intermediate_size=32, num_conv_pos_embeddings=16,
+                             num_conv_pos_embedding_groups=4,
+                             apply_spec_augment=False),
+        text=XLMRConfig(vocab_size=50, hidden_size=16, num_hidden_layers=1,
+                        num_attention_heads=4, intermediate_size=32,
+                        max_position_embeddings=24))
+    params = mdl.init_model(jax.random.key(0), cfg)
+    assert {"quality_proj", "cond_proj", "asr_proj"} <= set(params)
+    B, T, S = 2, 400, 6
+    batch = {
+        "audio": jnp.asarray(RNG.standard_normal((B, T)).astype(np.float32)),
+        "audio_mask": jnp.ones((B, T), jnp.float32),
+        "text_ids": jnp.asarray(RNG.integers(2, 50, (B, S)).astype(np.int32)),
+        "text_mask": jnp.ones((B, S), jnp.float32),
+        "quality_feats": jnp.asarray(RNG.standard_normal((B, 8)).astype(np.float32)),
+        "cond_feats": jnp.asarray(RNG.standard_normal((B, 12)).astype(np.float32)),
+        "asr_feats": jnp.asarray(RNG.standard_normal((B, 8)).astype(np.float32)),
+    }
+    base = np.asarray(mdl.model_forward(params, cfg, batch).logits)
+    for name in ("quality_proj", "cond_proj", "asr_proj"):
+        mod = jax.tree.map(lambda x: x, params)  # shallow-safe deep copy
+        mod[name] = dict(mod[name])
+        mod[name]["lin2"] = dict(mod[name]["lin2"])
+        mod[name]["lin2"]["bias"] = mod[name]["lin2"]["bias"] + 3.0
+        moved = np.asarray(mdl.model_forward(mod, cfg, batch).logits)
+        assert np.abs(moved - base).max() > 1e-4, name
