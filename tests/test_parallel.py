@@ -176,3 +176,114 @@ def test_multislice_folded_mesh_matches_flat():
     inferred = mesh_lib.make_mesh(data=-1, model=2, dcn_data=2)
     assert dict(zip(inferred.axis_names, inferred.devices.shape)) == {
         "data": 4, "model": 2}
+
+
+# ---------------------------------------------------------------------------
+# pipeline parallelism (parallel/pipeline.py)
+# ---------------------------------------------------------------------------
+
+from multilingual_multimodal_speech_emotion_recognition_tpu.parallel.pipeline import (  # noqa: E402
+    encoder_stack_pipeline)
+
+
+@pytest.mark.parametrize("stable_ln", [False, True])
+@pytest.mark.parametrize("microbatches", [2, 4])
+def test_pipeline_stack_matches_dense(stable_ln, microbatches):
+    """GPipe microbatch pipelining over 4 stages == the dense stack,
+    including padded (masked) frames and both norm variants."""
+    cfg = _tiny_cfg(stable_ln, layers=4)  # 4 layers / 4 stages
+    params = w2v.init_wav2vec2(jax.random.key(1), cfg)
+    stacked = params["layers"]
+
+    B, S, E = 8, 24, cfg.hidden_size
+    h = jnp.asarray(RNG.standard_normal((B, S, E)).astype(np.float32))
+    lengths = [S, S - 7, S // 2, 3, S - 1, S - 11, 9, 5]
+    frame_mask = jnp.asarray(
+        (np.arange(S)[None, :] < np.asarray(lengths)[:, None])
+        .astype(np.float32))
+
+    mesh = mesh_lib.make_mesh(data=2, model=4)
+    got = encoder_stack_pipeline(stacked, cfg, h, frame_mask, mesh,
+                                 num_microbatches=microbatches)
+    want = _dense(stacked, cfg, h, frame_mask)
+    valid = np.asarray(frame_mask).astype(bool)
+    np.testing.assert_allclose(np.asarray(got)[valid], np.asarray(want)[valid],
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_pipeline_stack_wavlm_and_single_stage():
+    """WavLM gated relpos through the pipeline; and the P=1 degenerate
+    pipeline (pure microbatching) must also be exact."""
+    base = _tiny_cfg(stable_ln=True, layers=4)
+    cfg = w2v.Wav2Vec2Config(**{
+        **base.__dict__, "gated_relpos_bias": True,
+        "num_buckets": 16, "max_bucket_distance": 20})
+    params = w2v.init_wav2vec2(jax.random.key(4), cfg)
+    params["rel_attn_embed"] = jax.random.normal(
+        jax.random.key(5), params["rel_attn_embed"].shape) * 0.1
+
+    B, S = 8, 20
+    h = jnp.asarray(RNG.standard_normal((B, S, cfg.hidden_size))
+                    .astype(np.float32))
+    lengths = [S, S - 5, 7, 2, S, S - 9, 11, 6]
+    frame_mask = jnp.asarray(
+        (np.arange(S)[None, :] < np.asarray(lengths)[:, None])
+        .astype(np.float32))
+    want = _dense(params["layers"], cfg, h, frame_mask, params)
+    valid = np.asarray(frame_mask).astype(bool)
+
+    got = encoder_stack_pipeline(
+        params["layers"], cfg, h, frame_mask,
+        mesh_lib.make_mesh(data=2, model=4), num_microbatches=4,
+        rel_attn_embed=params["rel_attn_embed"])
+    np.testing.assert_allclose(np.asarray(got)[valid], np.asarray(want)[valid],
+                               rtol=2e-4, atol=2e-5)
+
+    got1 = encoder_stack_pipeline(
+        params["layers"], cfg, h, frame_mask,
+        mesh_lib.make_mesh(data=8, model=1), num_microbatches=2,
+        rel_attn_embed=params["rel_attn_embed"], batch_axis=None)
+    np.testing.assert_allclose(np.asarray(got1)[valid],
+                               np.asarray(want)[valid],
+                               rtol=2e-4, atol=2e-5)
+
+    with pytest.raises(AssertionError):
+        encoder_stack_pipeline(params["layers"], cfg, h, frame_mask,
+                               mesh_lib.make_mesh(data=2, model=4),
+                               num_microbatches=2)
+
+
+def test_pipeline_stack_is_differentiable():
+    """Grads through the pipelined stack (scan + ppermute + masked psum)
+    match the dense stack's — it can sit inside a training step."""
+    cfg = _tiny_cfg(stable_ln=False, layers=2)
+    params = w2v.init_wav2vec2(jax.random.key(6), cfg)
+    stacked = params["layers"]
+
+    B, S, E = 8, 12, cfg.hidden_size
+    h = jnp.asarray(RNG.standard_normal((B, S, E)).astype(np.float32))
+    frame_mask = jnp.ones((B, S), jnp.float32)
+    mesh = mesh_lib.make_mesh(data=4, model=2)
+
+    def loss_pipe(p, x):
+        out = encoder_stack_pipeline(p, cfg, x, frame_mask, mesh,
+                                     num_microbatches=2)
+        return (out ** 2).sum()
+
+    def loss_dense(p, x):
+        return (_dense(p, cfg, x, frame_mask) ** 2).sum()
+
+    # jit is required: eager shard_map can't evaluate the rematerialized
+    # (closed_call) stage in reverse mode — and every framework caller is
+    # jitted anyway
+    gp_p, gp_x = jax.jit(jax.grad(loss_pipe, argnums=(0, 1)))(stacked, h)
+    gd_p, gd_x = jax.jit(jax.grad(loss_dense, argnums=(0, 1)))(stacked, h)
+    np.testing.assert_allclose(np.asarray(gp_x), np.asarray(gd_x),
+                               rtol=5e-4, atol=5e-5)
+    for (kp, a), (_, b) in zip(
+            sorted(jax.tree_util.tree_flatten_with_path(gp_p)[0],
+                   key=lambda t: str(t[0])),
+            sorted(jax.tree_util.tree_flatten_with_path(gd_p)[0],
+                   key=lambda t: str(t[0]))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5, err_msg=str(kp))
