@@ -356,3 +356,271 @@ def load_reference_checkpoint(path: str):
         return torch.load(path, map_location="cpu", weights_only=True)
     except Exception:
         return torch.load(path, map_location="cpu", weights_only=False)
+
+
+# ---------------------------------------------------------------------------
+# inverse direction: our tree -> reference torch state_dicts
+# ---------------------------------------------------------------------------
+
+def _t(x):
+    import torch
+    return torch.from_numpy(np.asarray(x, np.float32).copy())
+
+
+def _lin_inv(dst: dict, prefix: str, p: Mapping) -> None:
+    dst[f"{prefix}.weight"] = _t(np.asarray(p["kernel"], np.float32).T)
+    if "bias" in p:
+        dst[f"{prefix}.bias"] = _t(p["bias"])
+
+
+def _ln_inv(dst: dict, prefix: str, p: Mapping) -> None:
+    dst[f"{prefix}.weight"] = _t(p["scale"])
+    dst[f"{prefix}.bias"] = _t(p["bias"])
+
+
+def _mha_inv(dst: dict, prefix: str, p: Mapping) -> None:
+    import torch
+    w = torch.cat([_t(np.asarray(p[k]["kernel"], np.float32).T)
+                   for k in ("q", "k", "v")], dim=0)
+    b = torch.cat([_t(p[k]["bias"]) for k in ("q", "k", "v")], dim=0)
+    dst[f"{prefix}.in_proj_weight"] = w
+    dst[f"{prefix}.in_proj_bias"] = b
+    _lin_inv(dst, f"{prefix}.out_proj", p["out"])
+
+
+def _proj_inv(dst: dict, prefix: str, p: Mapping) -> None:
+    _lin_inv(dst, f"{prefix}.0", p["lin1"])
+    _lin_inv(dst, f"{prefix}.3", p["lin2"])
+
+
+def _zero_linear(dst: dict, prefix: str, in_dim: int, out_dim: int) -> None:
+    import torch
+    dst[f"{prefix}.weight"] = torch.zeros(out_dim, in_dim)
+    dst[f"{prefix}.bias"] = torch.zeros(out_dim)
+
+
+def _dead_pool(dst: dict, hid: int) -> None:
+    """The encoders' internal AttentiveStatsPooling is dead weight on every
+    reference train/eval path (the live pools are the separate pool_a/
+    pool_t modules) and has no counterpart in our tree — emit zeros so
+    strict load succeeds without inventing values."""
+    _zero_linear(dst, "pool.attention.0", hid, 128)
+    _zero_linear(dst, "pool.attention.2", 128, 1)
+
+
+def wav2vec2_to_hf(tree: Mapping, *, pos_conv_style: str = "parametrizations"
+                   ) -> dict:
+    """Inverse of wav2vec2_from_hf. pos_conv_style selects the weight-norm
+    serialization of the positional conv — "parametrizations" (torch>=2.1
+    parametrize API), "weight_norm" (legacy weight_g/weight_v), or "plain"
+    (a plain .weight key; only loads into un-parametrized models)."""
+    import torch
+    sd: dict = {}
+    layer_feat_norm = "ln" in tree["convs"][0]
+    for i, c in enumerate(tree["convs"]):
+        # lax 'WIO' [k, in, out] -> torch Conv1d [out, in, k]
+        sd[f"feature_extractor.conv_layers.{i}.conv.weight"] = _t(
+            np.transpose(np.asarray(c["kernel"], np.float32), (2, 1, 0)))
+        if "bias" in c:
+            sd[f"feature_extractor.conv_layers.{i}.conv.bias"] = _t(c["bias"])
+        if layer_feat_norm:
+            _ln_inv(sd, f"feature_extractor.conv_layers.{i}.layer_norm",
+                    c["ln"])
+    if not layer_feat_norm:
+        _ln_inv(sd, "feature_extractor.conv_layers.0.layer_norm",
+                tree["group_norm"])
+
+    _ln_inv(sd, "feature_projection.layer_norm", tree["feat_proj"]["ln"])
+    _lin_inv(sd, "feature_projection.projection", tree["feat_proj"]["proj"])
+
+    w = np.transpose(np.asarray(tree["pos_conv"]["kernel"], np.float32),
+                     (2, 1, 0))  # [H, in/groups, k]
+    pre = "encoder.pos_conv_embed.conv"
+    if pos_conv_style == "plain":
+        sd[f"{pre}.weight"] = _t(w)
+    else:
+        # weight = g * v / ||v||; pick v = w, g = ||w|| (norm over dims 0,1)
+        g = np.sqrt((w * w).sum(axis=(0, 1), keepdims=True))
+        if pos_conv_style == "parametrizations":
+            sd[f"{pre}.parametrizations.weight.original0"] = _t(g)
+            sd[f"{pre}.parametrizations.weight.original1"] = _t(w)
+        elif pos_conv_style == "weight_norm":
+            sd[f"{pre}.weight_g"] = _t(g)
+            sd[f"{pre}.weight_v"] = _t(w)
+        else:
+            raise ValueError(f"unknown pos_conv_style {pos_conv_style!r}")
+    sd[f"{pre}.bias"] = _t(tree["pos_conv"]["bias"])
+
+    _ln_inv(sd, "encoder.layer_norm", tree["encoder_ln"])
+    sd["masked_spec_embed"] = _t(tree["masked_spec_embed"])
+
+    stacked = tree["layers"]
+    L = np.asarray(stacked["attn_ln"]["scale"]).shape[0]
+    wavlm = "gru_lin" in stacked
+    for i in range(L):
+        layer = {k: (jax_tree_index(v, i)) for k, v in stacked.items()}
+        pre = f"encoder.layers.{i}"
+        _lin_inv(sd, f"{pre}.attention.q_proj", layer["q"])
+        _lin_inv(sd, f"{pre}.attention.k_proj", layer["k"])
+        _lin_inv(sd, f"{pre}.attention.v_proj", layer["v"])
+        _lin_inv(sd, f"{pre}.attention.out_proj", layer["out"])
+        _ln_inv(sd, f"{pre}.layer_norm", layer["attn_ln"])
+        _lin_inv(sd, f"{pre}.feed_forward.intermediate_dense", layer["ffn_in"])
+        _lin_inv(sd, f"{pre}.feed_forward.output_dense", layer["ffn_out"])
+        _ln_inv(sd, f"{pre}.final_layer_norm", layer["final_ln"])
+        if wavlm:
+            _lin_inv(sd, f"{pre}.attention.gru_rel_pos_linear",
+                     layer["gru_lin"])
+            sd[f"{pre}.attention.gru_rel_pos_const"] = _t(
+                np.asarray(layer["gru_const"], np.float32)
+                .reshape(1, -1, 1, 1))
+    if wavlm:
+        sd["encoder.layers.0.attention.rel_attn_embed.weight"] = _t(
+            tree["rel_attn_embed"])
+    return sd
+
+
+def xlmr_to_hf(tree: Mapping, *, include_pooler: bool = True) -> dict:
+    """Inverse of xlmr_from_hf. include_pooler emits a zeroed pooler
+    (XLMRobertaModel registers one by default; the reference TextEncoder
+    only consumes last_hidden_state — text_encoder.py:55-57 — so the
+    pooler weights never influence behavior)."""
+    sd: dict = {}
+    emb = tree["embeddings"]
+    sd["embeddings.word_embeddings.weight"] = _t(emb["word"])
+    sd["embeddings.position_embeddings.weight"] = _t(emb["position"])
+    sd["embeddings.token_type_embeddings.weight"] = _t(emb["token_type"])
+    _ln_inv(sd, "embeddings.LayerNorm", emb["ln"])
+    stacked = tree["layers"]
+    L = np.asarray(stacked["attn_ln"]["scale"]).shape[0]
+    for i in range(L):
+        layer = {k: jax_tree_index(v, i) for k, v in stacked.items()}
+        pre = f"encoder.layer.{i}"
+        _lin_inv(sd, f"{pre}.attention.self.query", layer["q"])
+        _lin_inv(sd, f"{pre}.attention.self.key", layer["k"])
+        _lin_inv(sd, f"{pre}.attention.self.value", layer["v"])
+        _lin_inv(sd, f"{pre}.attention.output.dense", layer["out"])
+        _ln_inv(sd, f"{pre}.attention.output.LayerNorm", layer["attn_ln"])
+        _lin_inv(sd, f"{pre}.intermediate.dense", layer["ffn_in"])
+        _lin_inv(sd, f"{pre}.output.dense", layer["ffn_out"])
+        _ln_inv(sd, f"{pre}.output.LayerNorm", layer["final_ln"])
+    if include_pooler:
+        H = int(np.asarray(emb["word"]).shape[1])
+        _zero_linear(sd, "pooler.dense", H, H)
+    return sd
+
+
+def jax_tree_index(subtree, i: int):
+    """Index the stacked-layer axis of a nested dict of arrays."""
+    if isinstance(subtree, Mapping):
+        return {k: jax_tree_index(v, i) for k, v in subtree.items()}
+    return np.asarray(subtree)[i]
+
+
+def reference_state_dicts_from_params(params: Mapping, cfg, *,
+                                      pos_conv_style: str = "parametrizations",
+                                      include_pooler: bool = True) -> dict:
+    """Our parameter tree -> the reference trainers' 8-state_dict layout
+    (train.py:247-263), loadable with load_state_dict(strict=True) into
+    the reference's own modules. Tensors the reference requires but our
+    tree deliberately does not carry (the encoders' dead internal pools;
+    the sibling fusion blocks that are dead when combined_fusion is
+    active) are emitted as zeros — they never influence a reference
+    forward. asr_proj is NOT emitted: the reference only materializes
+    its lazy asr_integration module after construction, so a strict load
+    of TextEncoder would reject the keys."""
+    import torch
+
+    a_sd = {f"encoder.{k}": v for k, v in
+            wav2vec2_to_hf(params["audio_backbone"],
+                           pos_conv_style=pos_conv_style).items()}
+    _lin_inv(a_sd, "adapter.0", params["audio_adapter"]["down"])
+    _lin_inv(a_sd, "adapter.2", params["audio_adapter"]["up"])
+    _dead_pool(a_sd, cfg.audio_hidden)
+    if "quality_proj" in params:
+        _proj_inv(a_sd, "quality_gates.quality_projection",
+                  params["quality_proj"])
+    if "cond_proj" in params:
+        _proj_inv(a_sd, "audio_conditioning.conditioning_projection",
+                  params["cond_proj"])
+    hid = cfg.audio_hidden
+    if cfg.use_quality_gates and cfg.use_audio_conditioning:
+        _lin_inv(a_sd, "combined_fusion.0", params["combined_fusion"]["lin"])
+        _zero_linear(a_sd, "quality_fusion.0", hid + 8, hid)
+        _zero_linear(a_sd, "conditioning_fusion.0", hid + 12, hid)
+    elif cfg.use_quality_gates:
+        _lin_inv(a_sd, "quality_fusion.0", params["quality_fusion"]["lin"])
+    elif cfg.use_audio_conditioning:
+        _lin_inv(a_sd, "conditioning_fusion.0",
+                 params["conditioning_fusion"]["lin"])
+
+    t_sd = {f"encoder.{k}": v for k, v in
+            xlmr_to_hf(params["text_backbone"],
+                       include_pooler=include_pooler).items()}
+    _lin_inv(t_sd, "adapter.0", params["text_adapter"]["down"])
+    _lin_inv(t_sd, "adapter.2", params["text_adapter"]["up"])
+    _dead_pool(t_sd, cfg.text_hidden)
+    _lin_inv(t_sd, "asr_fusion.0", params["asr_fusion"]["lin"])
+
+    cross_sd: dict = {}
+    cp = params["cross"]
+    for name in ("q_a", "k_t", "v_t", "out_a", "q_t", "k_a", "v_a", "out_t"):
+        _lin_inv(cross_sd, name, cp[name])
+    _mha_inv(cross_sd, "attn_a", cp["attn_a"])
+    _mha_inv(cross_sd, "attn_t", cp["attn_t"])
+    _ln_inv(cross_sd, "norm_a", cp["norm_a"])
+    _ln_inv(cross_sd, "norm_t", cp["norm_t"])
+
+    def pool_sd(p):
+        d: dict = {}
+        _lin_inv(d, "attention.0", p["w1"])
+        _lin_inv(d, "attention.2", p["w2"])
+        return d
+
+    fusion_sd: dict = {}
+    fp = params["fusion"]
+    for ours, ref in (("proj_a1", "proj_a.0"), ("proj_a2", "proj_a.3"),
+                      ("proj_t1", "proj_t.0"), ("proj_t2", "proj_t.3"),
+                      ("gate_a1", "gate_a.0"), ("gate_a2", "gate_a.2"),
+                      ("gate_t1", "gate_t.0"), ("gate_t2", "gate_t.2")):
+        _lin_inv(fusion_sd, ref, fp[ours])
+
+    clf_sd: dict = {}
+    c = params["classifier"]
+    _lin_inv(clf_sd, "deep_classifier.input_projection.0", c["input_proj"])
+    _ln_inv(clf_sd, "deep_classifier.input_projection.1", c["input_ln"])
+    L = np.asarray(c["layers"]["ln_pre"]["scale"]).shape[0]
+    for i in range(L):
+        layer = jax_tree_index(c["layers"], i)
+        _ln_inv(clf_sd, f"deep_classifier.layer_norms.{i}", layer["ln_pre"])
+        blk = f"deep_classifier.residual_layers.{i}.block"
+        _ln_inv(clf_sd, f"{blk}.0", layer["block_ln"])
+        _lin_inv(clf_sd, f"{blk}.1", layer["block_lin1"])
+        _lin_inv(clf_sd, f"{blk}.4", layer["block_lin2"])
+    _lin_inv(clf_sd, "deep_classifier.output_projection.0", c["out_proj1"])
+    _ln_inv(clf_sd, "deep_classifier.output_projection.1", c["out_ln"])
+    _lin_inv(clf_sd, "deep_classifier.output_projection.4", c["out_proj2"])
+    anc = c["anchor"]
+    clf_sd["anchor_clustering.class_anchors"] = _t(anc["class_anchors"])
+    _lin_inv(clf_sd, "anchor_clustering.anchor_projection.0",
+             anc["projection"])
+    _ln_inv(clf_sd, "anchor_clustering.anchor_projection.1", anc["proj_ln"])
+    clf_sd["anchor_clustering.temperature"] = _t(anc["temperature"])
+    _lin_inv(clf_sd, "uncertainty_head.0", c["uncertainty"]["lin1"])
+    _lin_inv(clf_sd, "uncertainty_head.3", c["uncertainty"]["lin2"])
+    wb = c["weibull"]
+    clf_sd["weibull_alpha"] = _t(wb["alpha"])
+    clf_sd["weibull_beta"] = _t(wb["beta"])
+    clf_sd["weibull_tau"] = _t(wb["tau"])
+    clf_sd["activation_vectors"] = _t(wb["activation_vectors"])
+
+    return {
+        "audio_encoder": a_sd,
+        "text_encoder": t_sd,
+        "cross": cross_sd,
+        "pool_a": pool_sd(params["pool_a"]),
+        "pool_t": pool_sd(params["pool_t"]),
+        "fusion": fusion_sd,
+        "classifier": clf_sd,
+        "prototypes": {"prototypes": _t(params["prototypes"]["prototypes"])},
+    }

@@ -253,3 +253,121 @@ def test_import_cli_roundtrip(ref_ckpt_path, tmp_path):
     assert cfg.model.num_labels == N_LABELS
     assert params["classifier"]["layers"]["block_lin1"]["kernel"].shape[0] \
         == N_LAYERS
+
+
+# ---------------------------------------------------------------------------
+# inverse direction: our tree -> reference torch .pt
+# ---------------------------------------------------------------------------
+
+def _pos_conv_style(hf_model) -> str:
+    keys = hf_model.state_dict().keys()
+    if any("parametrizations.weight.original0" in k for k in keys):
+        return "parametrizations"
+    if any(k.endswith("pos_conv_embed.conv.weight_g") for k in keys):
+        return "weight_norm"
+    return "plain"
+
+
+def test_export_strict_loads_into_reference_modules(ref_ckpt_path):
+    """reference_state_dicts_from_params must load with strict=True into
+    the reference's own modules (the strongest structural layout check)
+    and reproduce our logits through the reference's forward."""
+    import dataclasses
+    from transformers import (Wav2Vec2Config as HFW2VConfig, Wav2Vec2Model,
+                              XLMRobertaConfig, XLMRobertaModel)
+    torch.manual_seed(9)
+    w2v = Wav2Vec2Model(HFW2VConfig(
+        hidden_size=AH, num_hidden_layers=2, num_attention_heads=HEADS,
+        intermediate_size=64, conv_dim=(16, 16, 16), conv_stride=(5, 2, 2),
+        conv_kernel=(10, 3, 3), num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4, do_stable_layer_norm=False,
+        feat_extract_norm="group", apply_spec_augment=False,
+        layerdrop=0.0)).eval()
+
+    cfg = dataclasses.replace(_tiny_base_cfg(), num_heads=HEADS)
+    params = mdl.init_model(jax.random.key(7), cfg)
+    sds = ref_convert.reference_state_dicts_from_params(
+        params, cfg, pos_conv_style=_pos_conv_style(w2v),
+        include_pooler=False)
+
+    # strict load: encoders (via the attribute-name shells), all heads
+    _AudioShell(w2v).load_state_dict(sds["audio_encoder"], strict=True)
+    xl = XLMRobertaModel(XLMRobertaConfig(
+        vocab_size=120, hidden_size=TH, num_hidden_layers=2,
+        num_attention_heads=HEADS, intermediate_size=64,
+        max_position_embeddings=40, type_vocab_size=1, pad_token_id=1),
+        add_pooling_layer=False)
+    _TextShell(xl).load_state_dict(sds["text_encoder"], strict=True)
+    # the pooler-bearing default XLMRobertaModel accepts the pooler emit
+    xl_pooled = XLMRobertaModel(XLMRobertaConfig(
+        vocab_size=120, hidden_size=TH, num_hidden_layers=2,
+        num_attention_heads=HEADS, intermediate_size=64,
+        max_position_embeddings=40, type_vocab_size=1, pad_token_id=1))
+    xl_pooled.load_state_dict(
+        ref_convert.xlmr_to_hf(params["text_backbone"], include_pooler=True),
+        strict=True)
+
+    cross = ref_cross.CrossModalAttention(AH, TH, SHARED, HEADS)
+    cross.load_state_dict(sds["cross"], strict=True)
+    pool_a = ref_pool.AttentiveStatsPooling(AH)
+    pool_a.load_state_dict(sds["pool_a"], strict=True)
+    pool_t = ref_pool.AttentiveStatsPooling(TH)
+    pool_t.load_state_dict(sds["pool_t"], strict=True)
+    fusion = ref_fusion.FusionLayer(2 * AH, 2 * TH, PROJ)
+    fusion.load_state_dict(sds["fusion"], strict=True)
+    clf = ref_classifier.AdvancedOpenMaxClassifier(
+        input_dim=PROJ, num_labels=N_LABELS, num_layers=N_LAYERS,
+        base_dim=PROJ)
+    clf.load_state_dict(sds["classifier"], strict=True)
+    protos = ref_prototypes.PrototypeMemory(N_LABELS, PROJ)
+    protos.load_state_dict(sds["prototypes"], strict=True)
+
+    # the reference's forward over the exported heads == our model_heads
+    B, Sa, St = 2, 8, 6
+    a = (RNG.standard_normal((B, Sa, AH)) * 0.5).astype(np.float32)
+    t = (RNG.standard_normal((B, St, TH)) * 0.5).astype(np.float32)
+    am = np.ones((B, Sa), np.float32)
+    tm = np.ones((B, St), np.float32)
+    with torch.no_grad():
+        ae, te = cross.eval()(torch.from_numpy(a), torch.from_numpy(t),
+                              torch.from_numpy(am), torch.from_numpy(tm))
+        fused = fusion.eval()(pool_a.eval()(ae, torch.from_numpy(am)),
+                              pool_t.eval()(te, torch.from_numpy(tm)))
+        r_logits, _, _ = clf.eval()(fused, use_openmax=False,
+                                    return_uncertainty=True)
+    out = mdl.model_heads(params, cfg, jnp.asarray(a), jnp.asarray(am),
+                          jnp.asarray(t), jnp.asarray(tm), deterministic=True)
+    np.testing.assert_allclose(np.asarray(out.logits), r_logits.numpy(),
+                               rtol=1e-4, atol=5e-5)
+
+
+def test_export_import_roundtrip(tmp_path):
+    """our tree -> reference .pt -> our tree must be the identity on every
+    imported subtree (asr_proj is deliberately not exported: the reference
+    TextEncoder only materializes its lazy ASR module post-construction)."""
+    import dataclasses
+    cfg = dataclasses.replace(_tiny_base_cfg(), num_heads=HEADS)
+    params = mdl.init_model(jax.random.key(8), cfg)
+    sds = ref_convert.reference_state_dicts_from_params(
+        params, cfg, pos_conv_style="plain")
+    sds["epoch"], sds["f1"] = 2, 0.5
+    path = tmp_path / "roundtrip.pt"
+    torch.save(sds, path)
+
+    ckpt = ref_convert.load_reference_checkpoint(str(path))
+    cfg2 = ref_convert.infer_model_config(ckpt, _tiny_base_cfg())
+    assert cfg2.audio.conv_dim == cfg.audio.conv_dim
+    assert cfg2.num_labels == cfg.num_labels
+    init2 = mdl.init_model(jax.random.key(9), cfg2)
+    params2, report = ref_convert.params_from_reference_checkpoint(
+        ckpt, cfg2, init2)
+    assert report["left_at_init"] == ["asr_proj"]
+    for name in report["imported"]:
+        a_leaves = jax.tree_util.tree_flatten_with_path(params[name])[0]
+        b_leaves = jax.tree_util.tree_flatten_with_path(params2[name])[0]
+        for (pa, la), (pb, lb) in zip(a_leaves, b_leaves):
+            assert str(pa) == str(pb)
+            np.testing.assert_allclose(np.asarray(la, np.float32),
+                                       np.asarray(lb, np.float32),
+                                       rtol=1e-6, atol=1e-7,
+                                       err_msg=f"{name}{pa}")
