@@ -67,6 +67,13 @@ def main():
     p.add_argument("--mesh_dcn", type=int, default=1,
                    help="multi-slice pods: number of slices; pure data "
                         "parallelism over DCN, slice-major 'data' axis")
+    p.add_argument("--fsdp", action="store_true",
+                   help="ZeRO-style fully-sharded data parallelism: params, "
+                        "grads and optimizer state shard over the 'data' "
+                        "axis (parallel/mesh.py:param_shardings)")
+    p.add_argument("--fsdp_min_size", type=int, default=None,
+                   help="leaves with fewer elements than this replicate "
+                        "under --fsdp (default mesh.FSDP_MIN_SIZE=32768)")
     p.add_argument("--autotune_buckets", type=int, default=None,
                    help="replace the default audio buckets with N caps that "
                         "exactly minimize padded samples for the train "
@@ -145,7 +152,8 @@ def main():
             audio=AUDIO_BACKBONE_PRESETS[args.audio_backbone]()),
         data=DataConfig(**data_kw),
         train=TrainConfig(**train_kw),
-        mesh=MeshConfig(model_axis=args.mesh_model, dcn_data=args.mesh_dcn))
+        mesh=MeshConfig(model_axis=args.mesh_model, dcn_data=args.mesh_dcn,
+                        fsdp=args.fsdp, fsdp_min_size=args.fsdp_min_size))
 
     pretrained = {}
     if args.wav2vec2_checkpoint:

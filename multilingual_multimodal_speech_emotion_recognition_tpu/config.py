@@ -151,6 +151,11 @@ class MeshConfig:
     #                                     counts per-slice shards; the DCN
     #                                     axis folds slice-major into 'data'
     #                                     (parallel/mesh.py:make_mesh)
+    fsdp: bool = False                  # ZeRO-style param/grad/opt-state
+    #                                     sharding over 'data'
+    #                                     (parallel/mesh.py:param_shardings)
+    fsdp_min_size: Optional[int] = None # leaves smaller than this replicate
+    #                                     (None: mesh.FSDP_MIN_SIZE = 32768)
 
 
 @dataclasses.dataclass(frozen=True)

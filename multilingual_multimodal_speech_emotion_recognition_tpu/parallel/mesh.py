@@ -99,12 +99,54 @@ def _param_pspec(path: tuple, leaf) -> P:
     return P()
 
 
-def param_shardings(params, mesh: Mesh):
+#: Leaves smaller than this replicate even under FSDP: gathering a tiny
+#: norm/bias costs a collective launch without saving meaningful HBM.
+FSDP_MIN_SIZE = 2 ** 15
+
+
+def _fsdp_pspec(spec: P, leaf, n: int, min_size: int) -> P:
+    """ZeRO-style extension of a model-axis spec: shard the largest
+    still-unsharded dim divisible by the data-axis size over 'data'.
+
+    XLA/GSPMD turns these layouts into the FSDP communication pattern
+    automatically — params all-gather just-in-time per matmul in the
+    forward/backward, gradients reduce-scatter, and the optimizer update
+    runs on the local shard only (optimizer state created from sharded
+    params inherits the same layout, so AdamW moments are sharded too:
+    ZeRO-1/2/3 in one set of annotations).
+    """
+    if leaf.size < max(min_size, 1) or n <= 1:
+        return spec
+    full = tuple(spec) + (None,) * (leaf.ndim - len(spec))
+    best = None
+    for d in range(leaf.ndim):
+        if full[d] is not None or leaf.shape[d] % n or leaf.shape[d] < n:
+            continue
+        if best is None or leaf.shape[d] > leaf.shape[best]:
+            best = d
+    if best is None:
+        return spec
+    return P(*(DATA_AXIS if d == best else full[d] for d in range(leaf.ndim)))
+
+
+def param_shardings(params, mesh: Mesh, *, fsdp: bool = False,
+                    fsdp_min_size: Optional[int] = None):
     """NamedShardings for a parameter pytree under this mesh. With
-    model axis size 1 everything is effectively replicated."""
+    model axis size 1 and fsdp off everything is effectively replicated.
+
+    fsdp=True additionally shards each large leaf over the 'data' axis
+    (fully-sharded data parallelism — params + grads + optimizer state all
+    live in 1/data_axis of HBM per chip; the reference keeps everything
+    resident on its single device, reference src/train.py:100-140)."""
+    n_data = mesh.shape.get(DATA_AXIS, 1)
+    if fsdp_min_size is None:
+        fsdp_min_size = FSDP_MIN_SIZE
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
-    shardings = [NamedSharding(mesh, _param_pspec(path, leaf))
-                 for path, leaf in flat]
+    specs = [_param_pspec(path, leaf) for path, leaf in flat]
+    if fsdp:
+        specs = [_fsdp_pspec(spec, leaf, n_data, fsdp_min_size)
+                 for spec, (path, leaf) in zip(specs, flat)]
+    shardings = [NamedSharding(mesh, spec) for spec in specs]
     return jax.tree_util.tree_unflatten(treedef, shardings)
 
 
@@ -161,6 +203,8 @@ def shard_batch(batch: dict, mesh: Mesh, *, compact_audio: bool = True) -> dict:
     return {**rest, "audio": audio, "audio_mask": mask}
 
 
-def shard_params(params, mesh: Mesh):
-    shardings = param_shardings(params, mesh)
+def shard_params(params, mesh: Mesh, *, fsdp: bool = False,
+                 fsdp_min_size: Optional[int] = None):
+    shardings = param_shardings(params, mesh, fsdp=fsdp,
+                                fsdp_min_size=fsdp_min_size)
     return jax.tree.map(jax.device_put, params, shardings)

@@ -126,7 +126,8 @@ def train(cfg: Config, *, train_manifest: str, val_manifest: str,
         params = mdl.init_model(k_init, cfg.model)
         if pretrained:
             params = mdl.load_pretrained_backbones(params, **pretrained)
-    params = mesh_lib.shard_params(params, mesh)
+    params = mesh_lib.shard_params(params, mesh, fsdp=cfg.mesh.fsdp,
+                                   fsdp_min_size=cfg.mesh.fsdp_min_size)
 
     steps_per_epoch = max(1, train_loader.batches_per_epoch())
     total_steps = steps_per_epoch * tcfg.epochs
@@ -143,7 +144,8 @@ def train(cfg: Config, *, train_manifest: str, val_manifest: str,
         params, opt_state_r, meta = ckpt_lib.restore_checkpoint(
             tcfg.resume_from, params_template=params,
             opt_state_template=opt_state)
-        params = mesh_lib.shard_params(params, mesh)
+        params = mesh_lib.shard_params(params, mesh, fsdp=cfg.mesh.fsdp,
+                                       fsdp_min_size=cfg.mesh.fsdp_min_size)
         if opt_state_r is not None:
             opt_state = opt_state_r
         start_epoch = int(meta.get("epoch", -1)) + 1
@@ -283,7 +285,9 @@ def train(cfg: Config, *, train_manifest: str, val_manifest: str,
     if best_path is not None and best_path != last_path:
         b_params, b_opt, b_meta = ckpt_lib.restore_checkpoint(
             best_path, params_template=params, opt_state_template=opt_state)
-        b_params = fit_weibull_into(mesh_lib.shard_params(b_params, mesh))
+        b_params = fit_weibull_into(
+            mesh_lib.shard_params(b_params, mesh, fsdp=cfg.mesh.fsdp,
+                                  fsdp_min_size=cfg.mesh.fsdp_min_size))
         ckpt_lib.save_checkpoint(
             best_path, params=b_params, opt_state=b_opt,
             step=int(b_meta.get("step", 0)), epoch=int(b_meta.get("epoch", 0)),

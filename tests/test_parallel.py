@@ -287,3 +287,85 @@ def test_pipeline_stack_is_differentiable():
                    key=lambda t: str(t[0]))):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-5, err_msg=str(kp))
+
+
+# ---------------------------------------------------------------------------
+# FSDP / ZeRO parameter + optimizer-state sharding (mesh.py:param_shardings)
+# ---------------------------------------------------------------------------
+
+
+def test_fsdp_sharding_rules():
+    """Large leaves shard their largest free dim over 'data'; small leaves
+    replicate; leaves already model-sharded keep the model dim and gain a
+    'data' dim elsewhere (never the same dim twice)."""
+    from jax.sharding import PartitionSpec as P
+
+    mesh = mesh_lib.make_mesh(data=4, model=2)
+    params = {
+        "encoder": {"ffn_in": {"kernel": jnp.zeros((256, 512)),
+                               "bias": jnp.zeros((512,))},
+                    "ffn_out": {"kernel": jnp.zeros((512, 256))},
+                    "norm": {"scale": jnp.zeros((256,))}},
+        "small": {"kernel": jnp.zeros((4, 8))},
+        "odd": {"kernel": jnp.zeros((258, 514))},  # nothing divisible by 4
+    }
+    sh = mesh_lib.param_shardings(params, mesh, fsdp=True, fsdp_min_size=64)
+    # ffn_in is column-parallel on model; fsdp adds data on the other dim
+    assert sh["encoder"]["ffn_in"]["kernel"].spec == P("data", "model")
+    # ffn_out is row-parallel (model on dim 0); data takes dim 1
+    assert sh["encoder"]["ffn_out"]["kernel"].spec == P("model", "data")
+    # plain large vectors shard over data
+    assert sh["encoder"]["ffn_in"]["bias"].spec == P("data")
+    assert sh["encoder"]["norm"]["scale"].spec == P("data")
+    # below min_size: replicated
+    assert sh["small"]["kernel"].spec == P()
+    # no divisible dim: stays on its model-rule spec (here replicated)
+    assert sh["odd"]["kernel"].spec == P()
+
+    # fsdp off reproduces the old behavior
+    sh0 = mesh_lib.param_shardings(params, mesh)
+    assert sh0["encoder"]["ffn_in"]["bias"].spec == P()
+
+
+def test_fsdp_train_step_matches_replicated():
+    """One full train step with ZeRO-sharded params + opt state must produce
+    the same loss and (numerically) the same updated params as the
+    replicated layout — FSDP is a layout change, not a math change."""
+    from multilingual_multimodal_speech_emotion_recognition_tpu.config import TrainConfig
+    from multilingual_multimodal_speech_emotion_recognition_tpu.train import (
+        optimizer as opt_lib, train_step as ts)
+    import multilingual_multimodal_speech_emotion_recognition_tpu.models.model as mdl
+    from test_model import tiny_batch, tiny_config
+
+    cfg = tiny_config()
+    tcfg = TrainConfig(augment=False, freeze_backbones=False)
+    params = mdl.init_model(jax.random.key(0), cfg)
+    batch = dict(tiny_batch(B=8),
+                 labels=jnp.asarray(np.arange(8) % cfg.num_labels))
+    mesh = mesh_lib.make_mesh(data=4, model=2)
+    key = jax.random.key(1)
+
+    def run(fsdp):
+        p = mesh_lib.shard_params(params, mesh, fsdp=fsdp, fsdp_min_size=1)
+        tx = opt_lib.make_train_optimizer(p, lr=1e-3, total_steps=10)
+        step = ts.make_train_step(cfg, tcfg, tx, donate=False)
+        b = mesh_lib.shard_batch(batch, mesh)
+        new_p, opt_state, metrics = step(p, tx.init(p), b, key)
+        return new_p, float(metrics.loss), opt_state
+
+    p_rep, loss_rep, _ = run(fsdp=False)
+    p_fsdp, loss_fsdp, opt_fsdp = run(fsdp=True)
+
+    np.testing.assert_allclose(loss_fsdp, loss_rep, rtol=1e-5)
+    for (kp, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(p_fsdp)[0],
+            jax.tree_util.tree_flatten_with_path(p_rep)[0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5, err_msg=str(kp))
+
+    # the optimizer state actually lives sharded: at least one moment leaf
+    # must carry a 'data'-sharded spec (ZeRO, not just param sharding)
+    specs = [getattr(l.sharding, "spec", None)
+             for l in jax.tree.leaves(opt_fsdp)
+             if hasattr(l, "sharding")]
+    assert any(s is not None and "data" in str(s) for s in specs)
