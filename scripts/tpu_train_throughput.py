@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""Train-step throughput vs batch size on the real TPU (flagship model).
+
+The PARITY table quotes the frozen-backbone train step at B=16 (37 ms,
+2.3 ms/utt); larger batches amortize launch overhead and fill the MXU
+better. Times the jitted train step at B in {16, 32, 64} for both input
+modes — precomputed front-end feats (the offline-features pipeline) and
+in-step device DSP (the default pipeline) — and with backbones unfrozen
+at B=16 for the fine-tuning configuration.
+
+Run on the TPU session only (one TPU job at a time):
+    python scripts/tpu_train_throughput.py
+Prints one JSON line per row; paste into PARITY.md when it changes a
+quoted number.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SECONDS = 4.0
+TEXT_TOKENS = 32
+WARMUP = 2
+ITERS = 5
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from multilingual_multimodal_speech_emotion_recognition_tpu.config import (
+        ModelConfig, TrainConfig)
+    from multilingual_multimodal_speech_emotion_recognition_tpu.models import (
+        model as mdl)
+    from multilingual_multimodal_speech_emotion_recognition_tpu.train import (
+        optimizer as opt_lib, train_step as ts)
+
+    cfg = ModelConfig(compute_dtype="bfloat16")
+    params = mdl.init_model(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    T = int(SECONDS * 16000)
+
+    def make_batch(B, precomputed_feats):
+        lengths = rng.integers(int(0.6 * T), T, B)
+        b = {
+            "audio": jnp.asarray(
+                rng.standard_normal((B, T)).astype(np.float32) * 0.1),
+            "audio_mask": jnp.asarray(
+                (np.arange(T)[None, :] < lengths[:, None]).astype(np.float32)),
+            "text_ids": jnp.asarray(rng.integers(
+                2, cfg.text.vocab_size, (B, TEXT_TOKENS)).astype(np.int32)),
+            "text_mask": jnp.ones((B, TEXT_TOKENS), jnp.float32),
+            "labels": jnp.asarray(rng.integers(0, cfg.num_labels, B)),
+        }
+        if precomputed_feats:
+            b["quality_feats"] = jnp.zeros((B, 8), jnp.float32)
+            b["cond_feats"] = jnp.zeros((B, 12), jnp.float32)
+        return b
+
+    def timed(fn, *args):
+        for _ in range(WARMUP):
+            np.asarray(jax.tree.leaves(fn(*args))[0]).ravel()[:1]
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(ITERS):
+            out = fn(*args)
+        np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
+        return (time.perf_counter() - t0) / ITERS
+
+    def bench(B, *, precomputed, freeze):
+        tcfg = TrainConfig(augment=False, freeze_backbones=freeze)
+        tx = opt_lib.make_train_optimizer(params, lr=2e-4, total_steps=100,
+                                          freeze_backbones=freeze)
+        opt_state = tx.init(params)
+        step = ts.make_train_step(cfg, tcfg, tx, donate=False)
+        batch = make_batch(B, precomputed)
+        key = jax.random.key(1)
+        dt = timed(lambda p, s: step(p, s, batch, key), params, opt_state)
+        row = {"batch": B,
+               "feats": "precomputed" if precomputed else "in-step DSP",
+               "frozen_backbones": freeze,
+               "step_ms": round(dt * 1e3, 2),
+               "utt_per_sec": round(B / dt, 1),
+               "clip_seconds": SECONDS}
+        print(json.dumps(row), flush=True)
+
+    for B in (16, 32, 64):
+        bench(B, precomputed=True, freeze=True)
+    for B in (16, 32, 64):
+        bench(B, precomputed=False, freeze=True)
+    bench(16, precomputed=True, freeze=False)
+
+
+if __name__ == "__main__":
+    main()
