@@ -14,7 +14,11 @@ trained reference models.
 
 The model config (label count, classifier depth, backbone variant, which
 front-end fusion blocks exist) is inferred from the checkpoint's own
-shapes and keys; pass --num_labels etc. only to override.
+shapes and keys. Two fields are NOT shape-derivable and fall back to
+family rules: attention head counts (snapped to a divisor of the hidden
+size) and the conv extractor strides (the wav2vec2-standard prefix) — use
+--audio_heads/--text_heads/--conv_stride to override for nonstandard
+models; the assumed values are printed and recorded in import_report.json.
 """
 
 import argparse
@@ -37,6 +41,14 @@ def main():
                    help="compute dtype stamped into the imported config")
     p.add_argument("--use_asr", action="store_true",
                    help="enable the ASR feature path in the imported config")
+    p.add_argument("--audio_heads", type=int, default=None,
+                   help="override the inferred audio attention head count "
+                        "(not shape-derivable from separate q/k/v weights)")
+    p.add_argument("--text_heads", type=int, default=None,
+                   help="override the inferred text attention head count")
+    p.add_argument("--conv_stride", type=str, default=None,
+                   help="override the conv extractor strides, e.g. "
+                        "'5,2,2,2,2,2,2' (not shape-derivable)")
     args = p.parse_args()
 
     # import/convert runs entirely on host numpy + CPU jax — never touch
@@ -65,11 +77,38 @@ def main():
     model_cfg = dataclasses.replace(model_cfg,
                                     compute_dtype=args.compute_dtype,
                                     use_asr=args.use_asr)
+    audio_kw = {}
+    if args.audio_heads is not None:
+        audio_kw["num_attention_heads"] = args.audio_heads
+    if args.conv_stride is not None:
+        audio_kw["conv_stride"] = tuple(
+            int(s) for s in args.conv_stride.split(","))
+    if audio_kw:
+        model_cfg = dataclasses.replace(
+            model_cfg, audio=dataclasses.replace(model_cfg.audio, **audio_kw))
+    if args.text_heads is not None:
+        model_cfg = dataclasses.replace(
+            model_cfg, text=dataclasses.replace(
+                model_cfg.text, num_attention_heads=args.text_heads))
+    if len(model_cfg.audio.conv_stride) != len(model_cfg.audio.conv_dim):
+        raise SystemExit(
+            f"conv_stride has {len(model_cfg.audio.conv_stride)} entries but "
+            f"the checkpoint carries {len(model_cfg.audio.conv_dim)} conv "
+            "layers — pass --conv_stride with one stride per layer")
     cfg = cfg_lib.Config(model=model_cfg)
 
     init = mdl.init_model(jax.random.key(0), model_cfg)
     params, report = ref_convert.params_from_reference_checkpoint(
         ckpt, model_cfg, init)
+    report["assumed"] = {
+        "audio_heads": model_cfg.audio.num_attention_heads,
+        "text_heads": model_cfg.text.num_attention_heads,
+        "conv_stride": list(model_cfg.audio.conv_stride),
+        "note": "head counts and conv strides are not derivable from the "
+                "checkpoint's tensor shapes; these are the family-rule "
+                "values (or your overrides) — wrong heads change attention "
+                "math, wrong strides change frame geometry",
+    }
 
     out = ckpt_lib.save_checkpoint(
         args.out, params=params, epoch=report["epoch"], f1=report["f1"],
@@ -83,6 +122,10 @@ def main():
           f"classifier_layers={model_cfg.classifier_layers} "
           f"audio_hidden={model_cfg.audio_hidden}")
     print(f"  imported subtrees: {len(report['imported'])}")
+    print(f"  assumed (not shape-derivable, override via flags): "
+          f"audio_heads={report['assumed']['audio_heads']} "
+          f"text_heads={report['assumed']['text_heads']} "
+          f"conv_stride={report['assumed']['conv_stride']}")
     if report["left_at_init"]:
         print(f"  left at fresh init (absent in the reference checkpoint): "
               f"{report['left_at_init']}")

@@ -163,6 +163,22 @@ _AE_FUSIONS = {"combined_fusion": "combined_fusion",
                "conditioning_fusion": "conditioning_fusion"}
 
 
+def _snap_heads(hidden: int, base_hidden: int, base_heads: int) -> int:
+    """Head count is not shape-derivable (separate q/k/v projections are
+    [H, H] regardless of heads): keep base_cfg's when the width matches,
+    else the family rule (12 below 1024, 16 at/above), snapped DOWN to the
+    largest divisor of `hidden` so the imported config always yields a
+    runnable forward (a non-dividing head count crashes the attention
+    reshape). Overridable via cli/import_checkpoint.py --audio_heads /
+    --text_heads for models trained with a different count."""
+    if hidden == base_hidden:
+        return base_heads
+    h = min(16 if hidden >= 1024 else 12, hidden)
+    while hidden % h:
+        h -= 1
+    return h
+
+
 def infer_model_config(ckpt: Mapping, base_cfg=None):
     """Derive a ModelConfig matching the checkpoint's shapes/flags.
 
@@ -202,15 +218,17 @@ def infer_model_config(ckpt: Mapping, base_cfg=None):
     audio = Wav2Vec2Config(
         conv_dim=tuple(int(w.shape[0]) for w in conv_kernels),
         conv_kernel=tuple(int(w.shape[2]) for w in conv_kernels),
-        conv_stride=base.audio.conv_stride[:len(conv_kernels)],
+        # strides are not shape-derivable either: assume the family-standard
+        # prefix (5,2,2,...), extending with 2s for extra layers — assumed
+        # values are surfaced by cli/import_checkpoint.py (--conv_stride
+        # overrides); wrong strides change frame geometry, not tensor shapes
+        conv_stride=(base.audio.conv_stride[:len(conv_kernels)]
+                     + (2,) * max(0, len(conv_kernels)
+                                  - len(base.audio.conv_stride))),
         conv_bias="feature_extractor.conv_layers.0.conv.bias" in a_bb,
         hidden_size=ah, num_hidden_layers=n_audio_layers,
-        # head count is not shape-derivable (separate q/k/v projections are
-        # [H,H] regardless); keep base_cfg's when the width matches it, else
-        # the family rule (base=12 heads @768, large=16 @1024)
-        num_attention_heads=(base.audio.num_attention_heads
-                             if ah == base.audio.hidden_size
-                             else 16 if ah >= 1024 else 12),
+        num_attention_heads=_snap_heads(ah, base.audio.hidden_size,
+                                        base.audio.num_attention_heads),
         intermediate_size=int(_np(
             a_bb["encoder.layers.0.feed_forward.intermediate_dense.weight"]
         ).shape[0]),
@@ -234,9 +252,8 @@ def infer_model_config(ckpt: Mapping, base_cfg=None):
     text = XLMRConfig(
         vocab_size=int(emb.shape[0]), hidden_size=th,
         num_hidden_layers=n_text_layers,
-        num_attention_heads=(base.text.num_attention_heads
-                             if th == base.text.hidden_size
-                             else 16 if th >= 1024 else 12),
+        num_attention_heads=_snap_heads(th, base.text.hidden_size,
+                                        base.text.num_attention_heads),
         intermediate_size=int(_np(
             t_bb["encoder.layer.0.intermediate.dense.weight"]).shape[0]),
         max_position_embeddings=int(_np(
@@ -280,6 +297,10 @@ def params_from_reference_checkpoint(ckpt: Mapping, cfg, init_params: dict):
     params = dict(init_params)
     imported, left = [], []
     a_sd, t_sd = ckpt["audio_encoder"], ckpt["text_encoder"]
+    # key-prefix consumption ledger: anything in the encoder state_dicts not
+    # under a consumed prefix is reported as skipped (dead or unmappable)
+    a_used = ["encoder.", "adapter."]
+    t_used = ["encoder.", "adapter."]
 
     def put(name: str, value) -> None:
         _check_shapes(name, init_params[name], value)
@@ -302,22 +323,33 @@ def params_from_reference_checkpoint(ckpt: Mapping, cfg, init_params: dict):
     for ref_name, ours in _AE_FUSIONS.items():
         if ours in init_params and f"{ref_name}.0.weight" in a_sd:
             put(ours, {"lin": _lin(a_sd, f"{ref_name}.0")})
+            a_used.append(f"{ref_name}.")
     if "asr_fusion.0.weight" in t_sd:
         put("asr_fusion", {"lin": _lin(t_sd, "asr_fusion.0")})
+        t_used.append("asr_fusion.")
     if ("quality_proj" in init_params
             and "quality_gates.quality_projection.0.weight" in a_sd):
         put("quality_proj", _proj(a_sd, "quality_gates.quality_projection"))
+        a_used.append("quality_gates.quality_projection.")
     if ("cond_proj" in init_params
             and "audio_conditioning.conditioning_projection.0.weight" in a_sd):
         put("cond_proj",
             _proj(a_sd, "audio_conditioning.conditioning_projection"))
+        a_used.append("audio_conditioning.conditioning_projection.")
     if "asr_integration.asr_projection.0.weight" in t_sd:
         put("asr_proj", _proj(t_sd, "asr_integration.asr_projection"))
+        t_used.append("asr_integration.asr_projection.")
 
     left = sorted(set(init_params) - set(imported))
+    # every reference tensor NOT consumed above — e.g. the dead internal
+    # pool.* modules, and the sibling quality_fusion/conditioning_fusion
+    # weights that are dead on the reference's own forward when
+    # combined_fusion is active (audio_encoder.py:127-138)
     skipped = sorted(
-        {f"audio_encoder.{k}" for k in a_sd if k.startswith("pool.")}
-        | {f"text_encoder.{k}" for k in t_sd if k.startswith("pool.")}
+        {f"audio_encoder.{k}" for k in a_sd
+         if not any(k.startswith(p) for p in a_used)}
+        | {f"text_encoder.{k}" for k in t_sd
+           if not any(k.startswith(p) for p in t_used)}
         | ({"optimizer", "scheduler"} & set(ckpt)))
     report = {"imported": sorted(imported), "left_at_init": left,
               "skipped": skipped,

@@ -171,10 +171,51 @@ def save_checkpoint(path: str | Path, *, params, opt_state=None, step: int = 0,
     return path
 
 
+def _identity_feature_proj(d: int) -> dict:
+    """Exact-identity d->32->d projection: lin1 stacks [I, -I] columns, ReLU
+    splits the positive/negative parts, lin2 recombines them — output == x
+    for every real input (needs 2d <= 32, true for d in {8, 12})."""
+    k1 = np.zeros((d, 32), np.float32)
+    k2 = np.zeros((32, d), np.float32)
+    k1[:, :d] = np.eye(d)
+    k1[:, d:2 * d] = -np.eye(d)
+    k2[:d, :] = np.eye(d)
+    k2[d:2 * d, :] = -np.eye(d)
+    return {"lin1": {"kernel": k1, "bias": np.zeros(32, np.float32)},
+            "lin2": {"kernel": k2, "bias": np.zeros(d, np.float32)}}
+
+
+def _fill_legacy_projections(params: dict) -> list:
+    """Back-compat for checkpoints saved before the learned front-end
+    feature projections (models/model.py quality_proj/cond_proj/asr_proj)
+    existed: fill the missing slots with EXACT identity projections, so the
+    restored model computes precisely what it was trained to compute. Which
+    slots are expected is inferred the same way init_model decides them —
+    from the fusion blocks the checkpoint does carry."""
+    filled = []
+    if "asr_fusion" in params and "asr_proj" not in params:
+        params["asr_proj"] = _identity_feature_proj(8)
+        filled.append("asr_proj")
+    has_q = "combined_fusion" in params or "quality_fusion" in params
+    has_c = "combined_fusion" in params or "conditioning_fusion" in params
+    if has_q and "quality_proj" not in params:
+        params["quality_proj"] = _identity_feature_proj(8)
+        filled.append("quality_proj")
+    if has_c and "cond_proj" not in params:
+        params["cond_proj"] = _identity_feature_proj(12)
+        filled.append("cond_proj")
+    return filled
+
+
 def restore_checkpoint(path: str | Path, *, params_template=None,
                        opt_state_template=None):
     """Returns (params, opt_state_or_None, meta_dict). Templates restore
-    exact pytree structure (required for optax namedtuple states)."""
+    exact pytree structure (required for optax namedtuple states).
+
+    Pre-projection-era checkpoints restore transparently: the missing
+    projection slots are filled with identity projections (function-
+    preserving) and any restored optimizer moments are dropped (they lack
+    entries for the new slots), so resume warm-starts those leaves."""
     path = Path(path)
     meta = json.loads((path / "meta.json").read_text()) if (path / "meta.json").exists() else {}
 
@@ -192,7 +233,18 @@ def restore_checkpoint(path: str | Path, *, params_template=None,
         template = {"params": _to_numpy_tree(p_template)}
         if opt_state_template is not None:
             template["opt_state"] = _to_numpy_tree(opt_state_template)
-    state = _read_state(path / "state", template)
+    try:
+        state = _read_state(path / "state", template)
+    except Exception:
+        if template is None:
+            raise
+        # A legacy checkpoint's tree lacks leaves the template expects —
+        # retry structure-free; _fill_legacy_projections below migrates the
+        # known-missing slots, anything else still fails downstream.
+        state = _read_state(path / "state")
+        if not isinstance(state, dict) or "params" not in state or not any(
+                k not in state["params"] for k in template["params"]):
+            raise
 
     params = state["params"]
     if frozen_ref is not None:
@@ -204,7 +256,14 @@ def restore_checkpoint(path: str | Path, *, params_template=None,
                  if k in params_template})}
         frozen = _read_state(store / "state", f_template)["params"]
         params = {**params, **frozen}
+    filled = _fill_legacy_projections(params)
     opt_state = state.get("opt_state")
+    if filled:
+        print(f"restore_checkpoint: legacy checkpoint migrated — filled "
+              f"{filled} with identity feature projections"
+              + ("; dropping restored optimizer moments (no entries for the "
+                 "new slots)" if opt_state is not None else ""))
+        opt_state = None
     if opt_state is not None and opt_state_template is not None:
         # Restored trees may be plain dicts/lists (orbax serializes optax
         # namedtuples structurally); rebuild the optax structure only when

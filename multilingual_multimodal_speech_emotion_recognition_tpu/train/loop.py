@@ -147,7 +147,17 @@ def train(cfg: Config, *, train_manifest: str, val_manifest: str,
         params = mesh_lib.shard_params(params, mesh, fsdp=cfg.mesh.fsdp,
                                        fsdp_min_size=cfg.mesh.fsdp_min_size)
         if opt_state_r is not None:
-            opt_state = opt_state_r
+            # restored moments come back as host arrays: re-place any leaf
+            # whose fresh layout (tx.init on the sharded params) is a mesh
+            # sharding, so FSDP/TP resume keeps moments sharded instead of
+            # replicated. Leaves with single-device layouts (step counters)
+            # stay uncommitted — committing them to one device would
+            # conflict with the mesh-committed params under jit.
+            from jax.sharding import NamedSharding
+            opt_state = jax.tree.map(
+                lambda r, t: jax.device_put(r, t.sharding)
+                if isinstance(getattr(t, "sharding", None), NamedSharding)
+                else r, opt_state_r, opt_state)
         start_epoch = int(meta.get("epoch", -1)) + 1
         global_step = int(meta.get("step", 0))
         if progress:

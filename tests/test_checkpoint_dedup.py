@@ -114,3 +114,42 @@ def test_dedup_legacy_done_marker_migrates(tmp_path):
         ckpt.save_checkpoint(tmp_path / "e2", params=other, epoch=2,
                              dedup_frozen=True,
                              frozen_store=tmp_path / "store")
+
+
+def test_legacy_checkpoint_without_projections_migrates(tmp_path):
+    """Checkpoints saved before the learned front-end feature projections
+    existed must restore transparently: the missing slots fill with EXACT
+    identity projections (function-preserving) and restored optimizer
+    moments are dropped so resume warm-starts them."""
+    import jax.numpy as jnp
+    import optax
+
+    cfg = tiny_config()
+    params = mdl.init_model(jax.random.key(0), cfg)
+    legacy = {k: v for k, v in params.items()
+              if k not in ("asr_proj", "quality_proj", "cond_proj")}
+    tx = optax.adam(1e-3)
+    legacy_opt = tx.init(legacy)
+    path = ckpt.save_checkpoint(tmp_path / "legacy", params=legacy,
+                                opt_state=legacy_opt, epoch=3)
+
+    # template-less restore (the eval/infer/export CLI path)
+    restored, _, _ = ckpt.restore_checkpoint(path)
+    for k in ("asr_proj", "quality_proj", "cond_proj"):
+        assert k in restored, k
+    # the filled projection is an exact identity through relu
+    x = jnp.asarray(np.random.default_rng(0)
+                    .standard_normal((5, 8)).astype(np.float32))
+    got = mdl._feature_proj(jax.tree.map(jnp.asarray, restored["asr_proj"]),
+                            x, dropout_key=None, deterministic=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(x), atol=1e-6)
+
+    # template restore (the train-resume path): params migrate, the stale
+    # optimizer state (no moments for the new slots) is dropped
+    new_opt = tx.init(params)
+    r_params, r_opt, meta = ckpt.restore_checkpoint(
+        path, params_template=params, opt_state_template=new_opt)
+    assert meta["epoch"] == 3
+    assert r_opt is None
+    assert set(r_params) == set(params)
+    _assert_tree_equal(r_params["classifier"], legacy["classifier"])

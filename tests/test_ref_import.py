@@ -243,16 +243,39 @@ def test_import_cli_roundtrip(ref_ckpt_path, tmp_path):
         config as cfg_lib)
     cfg = cfg_lib.from_json(ckpt_lib.load_config_json(out))
     # the CLI's default base config has 768-wide backbones: the tiny widths
-    # don't match, so inference falls back to the family rule (12 heads);
-    # 32 % 12 != 0 would break a forward — assert the inferred geometry is
-    # at least self-consistent before running one
+    # don't match, so head inference falls back to the family rule snapped
+    # to a divisor of the hidden size — always a runnable geometry
+    assert cfg.model.audio_hidden % cfg.model.audio.num_attention_heads == 0
+    assert cfg.model.text_hidden % cfg.model.text.num_attention_heads == 0
     params, _, meta = ckpt_lib.restore_checkpoint(out)
     assert meta["epoch"] == 4
     assert meta["imported_from"] == str(path)
-    assert json.loads((out / "import_report.json").read_text())["imported"]
+    report = json.loads((out / "import_report.json").read_text())
+    assert report["imported"]
+    assert report["assumed"]["conv_stride"] == list(cfg.model.audio.conv_stride)
     assert cfg.model.num_labels == N_LABELS
     assert params["classifier"]["layers"]["block_lin1"]["kernel"].shape[0] \
         == N_LAYERS
+
+    # the imported checkpoint must be RUNNABLE, not just well-shaped
+    from multilingual_multimodal_speech_emotion_recognition_tpu.models import (
+        model as mdl)
+    rng = np.random.default_rng(0)
+    B, T, S = 2, 3200, 8
+    batch = {
+        "audio": jnp.asarray(rng.standard_normal((B, T)).astype(np.float32)
+                             * 0.1),
+        "audio_mask": jnp.ones((B, T), jnp.float32),
+        "text_ids": jnp.asarray(rng.integers(
+            2, cfg.model.text.vocab_size, (B, S)).astype(np.int32)),
+        "text_mask": jnp.ones((B, S), jnp.float32),
+        "quality_feats": jnp.zeros((B, 8), jnp.float32),
+        "cond_feats": jnp.zeros((B, 12), jnp.float32),
+    }
+    out_fwd = jax.jit(lambda p, b: mdl.model_forward(
+        p, cfg.model, b, deterministic=True))(params, batch)
+    assert out_fwd.logits.shape == (B, N_LABELS)
+    assert np.isfinite(np.asarray(out_fwd.logits)).all()
 
 
 # ---------------------------------------------------------------------------
@@ -371,3 +394,58 @@ def test_export_import_roundtrip(tmp_path):
                                        np.asarray(lb, np.float32),
                                        rtol=1e-6, atol=1e-7,
                                        err_msg=f"{name}{pa}")
+
+
+@pytest.mark.parametrize("uq,uc", [(True, False), (False, True),
+                                   (False, False)])
+def test_export_strict_loads_nondefault_flag_configs(uq, uc):
+    """The reference builds quality/conditioning/combined modules
+    CONDITIONALLY on the same flags our config carries
+    (audio_encoder.py:26-51), so exporting a native tree trained with any
+    flag combination must strict-load into a reference AudioEncoder built
+    with those flags — no missing and no unexpected keys."""
+    import dataclasses
+    from transformers import Wav2Vec2Config as HFW2VConfig, Wav2Vec2Model
+    torch.manual_seed(11)
+    w2v = Wav2Vec2Model(HFW2VConfig(
+        hidden_size=AH, num_hidden_layers=2, num_attention_heads=HEADS,
+        intermediate_size=64, conv_dim=(16, 16, 16), conv_stride=(5, 2, 2),
+        conv_kernel=(10, 3, 3), num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4, do_stable_layer_norm=False,
+        feat_extract_norm="group", apply_spec_augment=False,
+        layerdrop=0.0)).eval()
+
+    cfg = dataclasses.replace(_tiny_base_cfg(), num_heads=HEADS,
+                              use_quality_gates=uq,
+                              use_audio_conditioning=uc)
+    params = mdl.init_model(jax.random.key(13), cfg)
+    sds = ref_convert.reference_state_dicts_from_params(
+        params, cfg, pos_conv_style=_pos_conv_style(w2v),
+        include_pooler=False)
+
+    class _FlagShell(nn.Module):
+        """AudioEncoder replica with the reference's conditional module
+        construction (audio_encoder.py:26-51)."""
+
+        def __init__(self):
+            super().__init__()
+            self.encoder = w2v
+            self.adapter = nn.Sequential(nn.Linear(AH, ADAPTER), nn.ReLU(),
+                                         nn.Linear(ADAPTER, AH))
+            self.pool = ref_pool.AttentiveStatsPooling(AH)
+            if uq:
+                self.quality_gates = nn.Module()
+                self.quality_gates.quality_projection = _feature_proj_seq(8)
+                self.quality_fusion = nn.Sequential(
+                    nn.Linear(AH + 8, AH), nn.ReLU(), nn.Dropout(0.1))
+            if uc:
+                self.audio_conditioning = nn.Module()
+                self.audio_conditioning.conditioning_projection = \
+                    _feature_proj_seq(12)
+                self.conditioning_fusion = nn.Sequential(
+                    nn.Linear(AH + 12, AH), nn.ReLU(), nn.Dropout(0.1))
+            if uq and uc:
+                self.combined_fusion = nn.Sequential(
+                    nn.Linear(AH + 20, AH), nn.ReLU(), nn.Dropout(0.1))
+
+    _FlagShell().load_state_dict(sds["audio_encoder"], strict=True)
