@@ -32,6 +32,16 @@ def main():
     p.add_argument("--int8", action="store_true",
                    help="int8-quantize the frozen backbones for serving "
                         "(ops/quant.py)")
+    p.add_argument("--predictions_out", type=str, default=None,
+                   help="write per-utterance predictions (path, label, "
+                        "prediction, probabilities, confidence, energy) as "
+                        "JSONL — the batch-scoring surface the reference "
+                        "lacks")
+    p.add_argument("--save_temperature", action="store_true",
+                   help="persist the fitted temperature (--calibrate) as "
+                        "calibration.json inside the checkpoint dir; "
+                        "cli/export.py ships it with serving artifacts and "
+                        "the serving daemon applies it")
     args = p.parse_args()
 
     from multilingual_multimodal_speech_emotion_recognition_tpu.utils import runtime
@@ -59,10 +69,26 @@ def main():
     print(f"Loaded checkpoint: {args.checkpoint} "
           f"(epoch {meta.get('epoch')}, f1 {meta.get('f1')})")
 
-    evaluate.evaluate_manifest(
+    results = evaluate.evaluate_manifest(
         params, cfg, args.manifest, batch_size=args.batch_size,
         use_tta=args.use_tta, num_tta=args.num_tta, calibrate=args.calibrate,
         val_manifest=args.val_manifest)
+
+    if args.predictions_out:
+        n = evaluate.write_predictions_jsonl(results, args.manifest,
+                                             args.predictions_out)
+        print(f"Wrote {n} per-utterance predictions to "
+              f"{args.predictions_out}")
+    if args.save_temperature:
+        if not args.calibrate:
+            raise SystemExit("--save_temperature requires --calibrate "
+                             "(and --val_manifest) to fit one")
+        import json
+        cal_path = Path(args.checkpoint) / "calibration.json"
+        cal_path.write_text(json.dumps(
+            {"temperature": results["temperature"],
+             "fitted_on": args.val_manifest}, indent=2))
+        print(f"Saved temperature {results['temperature']:.3f} -> {cal_path}")
 
 
 if __name__ == "__main__":

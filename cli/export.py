@@ -105,6 +105,14 @@ def main():
         print(f"Exported {args.checkpoint} (epoch {meta.get('epoch')}) -> "
               f"{art}")
 
+    # ship the fitted temperature (cli/eval.py --save_temperature) with the
+    # artifact so the serving daemon serves calibrated probabilities
+    cal = Path(args.checkpoint) / "calibration.json"
+    if cal.exists():
+        import shutil
+        shutil.copy(cal, Path(args.out_dir) / "calibration.json")
+        print(f"Shipped {cal} with the artifact")
+
 
 if __name__ == "__main__":
     main()

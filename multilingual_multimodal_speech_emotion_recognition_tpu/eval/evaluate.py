@@ -182,6 +182,7 @@ def evaluate_manifest(params, cfg: Config, manifest: str, *,
             "high_gt_0.8": float((maxp > 0.8).mean()) if len(maxp) else 0.0,
             "low_lt_0.5": float((maxp < 0.5).mean()) if len(maxp) else 0.0},
         "logits": logits, "labels": labels, "preds": preds,
+        "probs": probs, "energies": energies, "indices": out["indices"],
     }
 
     if verbose:
@@ -203,3 +204,48 @@ def evaluate_manifest(params, cfg: Config, manifest: str, *,
               f"\n  High confidence (>0.8): {c['high_gt_0.8']:.3f}"
               f"\n  Low confidence (<0.5): {c['low_lt_0.5']:.3f}")
     return results
+
+
+def write_predictions_jsonl(results: Dict, manifest: str,
+                            out_path: str) -> int:
+    """Per-utterance predictions JSONL from an `evaluate_manifest` result.
+
+    One line per scored clip, joined back to its manifest row via the
+    loader-carried indices: audio path, true label, prediction (+name),
+    per-class probabilities, max-prob confidence, and the energy OOD score.
+    The reference has no batch scoring output at all — its eval aggregates
+    (src/eval.py:174-202) and its interface scores one file per process run
+    (interface.py:423-470); this is the labeling-pipeline surface between
+    the two. Returns the number of lines written."""
+    import json as _json
+
+    from ..data.manifest import read_manifest
+
+    rows = read_manifest(manifest)
+    names = SIX_NAMES[:results["probs"].shape[1]] if len(
+        results["probs"]) else SIX_NAMES
+    n = 0
+    with open(out_path, "w") as f:
+        for i in range(len(results["preds"])):
+            idx = int(results["indices"][i]) if len(results["indices"]) else i
+            row = rows[idx] if idx < len(rows) else {}
+            p = results["probs"][i]
+            rec = {
+                "index": idx,
+                "audio": row.get("audio"),
+                "dataset": row.get("dataset"),
+                "label": int(results["labels"][i]),
+                "prediction": int(results["preds"][i]),
+                "emotion": names[int(results["preds"][i])]
+                if int(results["preds"][i]) < len(names)
+                else str(int(results["preds"][i])),
+                "probabilities": {names[j] if j < len(names) else str(j):
+                                  round(float(p[j]), 6)
+                                  for j in range(len(p))},
+                "confidence": round(float(p.max()), 6),
+                "energy": round(float(results["energies"][i]), 6),
+                "correct": bool(results["preds"][i] == results["labels"][i]),
+            }
+            f.write(_json.dumps(rec) + "\n")
+            n += 1
+    return n

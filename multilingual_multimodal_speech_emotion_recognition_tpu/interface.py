@@ -55,6 +55,14 @@ class EmotionRecognitionInterface:
             self.params = quant.quantize_backbones(self.params)
         self.tokenizer = tokenizer or get_tokenizer(
             vocab_size=self.cfg.model.text.vocab_size)
+        # calibration persisted by `cli/eval.py --calibrate
+        # --save_temperature`: applied to logits so reported probabilities
+        # are calibrated (same contract as the serving daemon)
+        self.temperature = 1.0
+        cal = Path(checkpoint_path) / "calibration.json"
+        if cal.exists():
+            self.temperature = float(
+                json.loads(cal.read_text()).get("temperature", 1.0))
         n = self.cfg.model.num_labels
         self.emotion_labels = (EMOTION_LABELS_6 if n == 6
                                else EMOTION_LABELS_4)[:n]
@@ -170,7 +178,7 @@ class EmotionRecognitionInterface:
                 self.params, batch, jax.random.key(seed), num_tta)
         else:
             logits, uncertainty, anchor = self._fwd(self.params, batch)
-        logits = np.asarray(logits, np.float64)
+        logits = np.asarray(logits, np.float64) / self.temperature
         uncertainty = np.asarray(uncertainty, np.float64)
         e = np.exp(logits - logits.max(axis=1, keepdims=True))
         probs = e / e.sum(axis=1, keepdims=True)

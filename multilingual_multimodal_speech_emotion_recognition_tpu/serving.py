@@ -92,6 +92,16 @@ class ArtifactRouter:
                 f"{art}: neither index.json (bucketed export) nor "
                 f"spec.json (single artifact) found")
         self.buckets.sort(key=lambda b: b.audio_samples)
+        # temperature calibration persisted by `cli/eval.py --calibrate
+        # --save_temperature` and shipped into the artifact dir by
+        # cli/export.py; logits are divided by it before softmax so served
+        # probabilities are calibrated (reference applies its fitted
+        # temperature only inside eval.py:152-157 and ships nothing)
+        self.temperature = 1.0
+        cal = art / "calibration.json"
+        if cal.exists():
+            self.temperature = float(
+                json.loads(cal.read_text()).get("temperature", 1.0))
         if preload:
             for b in self.buckets:
                 b.model  # noqa: B018 — force deserialization now
@@ -331,7 +341,7 @@ class BatchingServer:
             batch["cond_feats"] = np.zeros(
                 tuple(spec["cond_feats"][0]), np.float32)
         out = bucket.model.predict(batch)
-        logits = out["logits"].astype(np.float64)
+        logits = out["logits"].astype(np.float64) / self.router.temperature
         if self.labels is None:
             self.labels = EMOTION_LABELS_6[:logits.shape[1]]
         e = np.exp(logits - logits.max(axis=1, keepdims=True))
@@ -368,6 +378,7 @@ class BatchingServer:
             "latency_ms": {"p50": q(lat, 50), "p95": q(lat, 95),
                            "p99": q(lat, 99)},
             "mean_batch_fill": float(fill.mean()) if fill.size else None,
+            "temperature": self.router.temperature,
             "uptime_s": round(time.time() - self._started, 1),
         }
 

@@ -87,6 +87,23 @@ def test_train_eval_checkpoint_resume(synth_data, tmp_path):
     assert res["weighted_f1"] > 0.5
     assert "confusion_matrix" in res and len(res["per_class_accuracy"]) >= 1
 
+    # per-utterance predictions JSONL: one line per val clip, joined back
+    # to its manifest row by index, probabilities summing to 1
+    import json as json_mod
+    pred_path = tmp_path / "preds.jsonl"
+    n = ev.write_predictions_jsonl(res, str(root / "val.jsonl"),
+                                   str(pred_path))
+    rows = [json_mod.loads(l) for l in pred_path.read_text().splitlines()]
+    assert n == len(rows) == len(res["preds"])
+    val_rows = man.read_manifest(root / "val.jsonl")
+    for r in rows:
+        assert r["audio"] == val_rows[r["index"]]["audio"]
+        assert r["label"] == val_rows[r["index"]]["label"]
+        assert abs(sum(r["probabilities"].values()) - 1.0) < 1e-4
+        assert r["correct"] == (r["prediction"] == r["label"])
+    acc_jsonl = np.mean([r["correct"] for r in rows])
+    assert acc_jsonl == pytest.approx(res["accuracy"])
+
     res_tta = ev.evaluate_manifest(params, cfg, str(root / "val.jsonl"),
                                    batch_size=8, tokenizer=tok, mesh=mesh,
                                    use_tta=True, num_tta=3, verbose=False)

@@ -83,3 +83,30 @@ def test_export_and_visualize(ckpt_and_wav, tmp_path):
     fig_path = tmp_path / "analysis.png"
     iface.visualize_results(res, str(fig_path))
     assert fig_path.exists() and fig_path.stat().st_size > 1000
+
+
+def test_interface_applies_saved_calibration(ckpt_and_wav, tmp_path):
+    """calibration.json beside the checkpoint (written by `cli/eval.py
+    --save_temperature`) scales the interface's logits: same argmax,
+    flatter probabilities at T>1 — the exact softmax(logits/T) relation."""
+    import json
+    import shutil
+
+    ckpt_path, wav_path = ckpt_and_wav
+    base = iface_mod.EmotionRecognitionInterface(ckpt_path)
+    res0 = base.predict_emotion(wav_path, "calibration check")
+
+    cal_dir = tmp_path / "ckpt_cal"
+    shutil.copytree(ckpt_path, cal_dir)
+    T = 3.0
+    (cal_dir / "calibration.json").write_text(json.dumps({"temperature": T}))
+    calib = iface_mod.EmotionRecognitionInterface(str(cal_dir))
+    assert calib.temperature == T
+    res1 = calib.predict_emotion(wav_path, "calibration check")
+
+    assert res1["predictions"][0] == res0["predictions"][0]
+    logits = np.log(res0["probabilities"][0])
+    e = np.exp(logits / T - (logits / T).max())
+    np.testing.assert_allclose(res1["probabilities"][0], e / e.sum(),
+                               atol=2e-4)
+    assert res1["confidence"][0] < res0["confidence"][0]

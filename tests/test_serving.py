@@ -383,3 +383,45 @@ def test_http_server_waits_for_inflight_handlers(bucketed_artifact):
         httpd.shutdown()
         httpd.server_close()
         core.close()
+
+
+def test_calibration_temperature_applied(bucketed_artifact):
+    """calibration.json in the artifact dir (shipped by cli/export.py from
+    `cli/eval.py --calibrate --save_temperature`) scales served logits:
+    probabilities flatten at T>1 but the argmax (and thus the emotion) is
+    unchanged; /stats reports the active temperature."""
+    art, cfg, params = bucketed_artifact
+    wave = RNG.standard_normal(2500).astype(np.float32) * 0.1
+    text = "calibration check"
+
+    core = _core(art)
+    try:
+        base = core.submit(wave, text, timeout=300)
+        assert core.stats_summary()["temperature"] == 1.0
+    finally:
+        core.close()
+
+    T = 4.0
+    (art / "calibration.json").write_text(json.dumps({"temperature": T}))
+    try:
+        core = _core(art)
+        try:
+            calib = core.submit(wave, text, timeout=300)
+            assert core.stats_summary()["temperature"] == T
+        finally:
+            core.close()
+    finally:
+        (art / "calibration.json").unlink()
+
+    assert calib["prediction"] == base["prediction"]
+    # exact relation: calibrated probs == softmax(logits / T); recover
+    # logits (up to a constant) from the baseline probs
+    base_p = np.asarray([base["probabilities"][k]
+                         for k in serving.EMOTION_LABELS_6[:4]])
+    logits = np.log(base_p)
+    e = np.exp(logits / T - (logits / T).max())
+    want = e / e.sum()
+    got = np.asarray([calib["probabilities"][k]
+                      for k in serving.EMOTION_LABELS_6[:4]])
+    np.testing.assert_allclose(got, want, atol=2e-4)
+    assert calib["confidence"] < base["confidence"]  # T>1 flattens
