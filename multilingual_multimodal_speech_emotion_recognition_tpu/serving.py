@@ -344,8 +344,15 @@ class BatchingServer:
         logits = out["logits"].astype(np.float64) / self.router.temperature
         if self.labels is None:
             self.labels = EMOTION_LABELS_6[:logits.shape[1]]
-        e = np.exp(logits - logits.max(axis=1, keepdims=True))
-        probs = e / e.sum(axis=1, keepdims=True)
+        mx = logits.max(axis=1, keepdims=True)
+        e = np.exp(logits - mx)
+        se = e.sum(axis=1, keepdims=True)
+        probs = e / se
+        # energy OOD score E(x) = -logsumexp(logits) (ops/openmax.py
+        # semantics, utils.py:energy_score in the reference): more negative
+        # = more in-distribution; production filter threshold lives client-
+        # side, matching eval/evaluate.py's reported energies
+        energies = -(np.log(se) + mx).reshape(-1)
         preds = logits.argmax(axis=1)
         unc = out["uncertainty"].reshape(-1)
         results = []
@@ -361,6 +368,7 @@ class BatchingServer:
                     for j in range(len(p))},
                 "confidence": round(float(p.max()), 6),
                 "uncertainty": round(float(unc[i]), 6),
+                "energy": round(float(energies[i]), 6),
                 "bucket_seconds": T / self.router.sample_rate,
             })
         return results

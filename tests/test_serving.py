@@ -106,6 +106,10 @@ def test_submit_matches_direct_serving_model(bucketed_artifact):
 
         assert res["prediction"] == int(logits.argmax())
         assert res["emotion"] == serving.EMOTION_LABELS_6[logits.argmax()]
+        # energy OOD score matches -logsumexp of the served logits
+        want_energy = -(np.log(np.exp(logits - logits.max()).sum())
+                        + logits.max())
+        assert res["energy"] == pytest.approx(want_energy, abs=1e-5)
         got_probs = np.asarray([res["probabilities"][k]
                                 for k in serving.EMOTION_LABELS_6[:4]])
         np.testing.assert_allclose(got_probs, want_probs, atol=1e-5)
