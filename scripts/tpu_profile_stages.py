@@ -85,50 +85,55 @@ def main():
 
     wave16 = clean.astype(jnp.bfloat16)
 
+    # params are ARGUMENTS, not closure constants: baked-in weights blow
+    # the relay's remote_compile request-size limit (observed HTTP 413 on
+    # the XLM-R stage) and bloat every cached program
     @jax.jit
-    def conv(wave):
-        h, m = w2v.feature_encoder(p_bf16["audio_backbone"], cfg.audio,
-                                   wave, audio_mask)
+    def conv(bb, wave):
+        h, m = w2v.feature_encoder(bb, cfg.audio, wave, audio_mask)
         return h.sum()
 
-    res["conv_extractor_ms"] = timed("conv_extractor", conv, wave16)
+    res["conv_extractor_ms"] = timed("conv_extractor", conv,
+                                     p_bf16["audio_backbone"], wave16)
 
     @jax.jit
-    def full_w2v2(wave):
-        h, m = w2v.wav2vec2_encode(p_bf16["audio_backbone"], cfg.audio,
-                                   wave, audio_mask)
+    def full_w2v2(bb, wave):
+        h, m = w2v.wav2vec2_encode(bb, cfg.audio, wave, audio_mask)
         return h.sum()
 
-    res["w2v2_full_ms"] = timed("w2v2_full", full_w2v2, wave16)
+    res["w2v2_full_ms"] = timed("w2v2_full", full_w2v2,
+                                p_bf16["audio_backbone"], wave16)
     res["w2v2_transformer_ms"] = round(
         res["w2v2_full_ms"] - res["conv_extractor_ms"], 2)
 
     @jax.jit
-    def text(i, m):
-        return xm.xlmr_encode(p_bf16["text_backbone"], cfg.text, i, m).sum()
+    def text(bb, i, m):
+        return xm.xlmr_encode(bb, cfg.text, i, m).sum()
 
-    res["xlmr_ms"] = timed("xlmr", text, ids, tmask)
+    res["xlmr_ms"] = timed("xlmr", text, p_bf16["text_backbone"], ids, tmask)
 
     # heads from precomputed sequences — build them under jit (eager
     # op-by-op dispatch on a relayed backend compiles hundreds of one-op
     # programs and takes effectively forever)
     @jax.jit
-    def encode_both(wave, wmask, i, m):
-        a, am = mdl.encode_audio(p_bf16, cfg, wave, wmask,
+    def encode_both(pp, wave, wmask, i, m):
+        a, am = mdl.encode_audio(pp, cfg, wave, wmask,
                                  quality_feats=jnp.zeros((BATCH, 8)),
                                  cond_feats=jnp.zeros((BATCH, 12)))
-        t, tm = mdl.encode_text(p_bf16, cfg, i, m)
+        t, tm = mdl.encode_text(pp, cfg, i, m)
         return a, am, t, tm
 
-    a_seq, a_mask, t_seq, t_mask = encode_both(wave16, audio_mask, ids, tmask)
+    a_seq, a_mask, t_seq, t_mask = encode_both(p_bf16, wave16, audio_mask,
+                                               ids, tmask)
     np.asarray(a_seq.sum())
 
     @jax.jit
-    def heads(a, am, t, tm):
-        out = mdl.model_heads(params, cfg, a, am, t, tm, deterministic=True)
+    def heads(pp, a, am, t, tm):
+        out = mdl.model_heads(pp, cfg, a, am, t, tm, deterministic=True)
         return out.logits.sum()
 
-    res["heads_ms"] = timed("heads", heads, a_seq, a_mask, t_seq, t_mask)
+    res["heads_ms"] = timed("heads", heads, params, a_seq, a_mask,
+                            t_seq, t_mask)
 
     res = {k: round(v, 2) for k, v in res.items()}
     res.update(batch=BATCH, clip_seconds=SECONDS)
