@@ -80,9 +80,11 @@ def main():
         print(f"Wrote {n} per-utterance predictions to "
               f"{args.predictions_out}")
     if args.save_temperature:
-        if not args.calibrate:
+        if not (args.calibrate and args.val_manifest):
             raise SystemExit("--save_temperature requires --calibrate "
-                             "(and --val_manifest) to fit one")
+                             "AND --val_manifest to fit one (without the "
+                             "val manifest no temperature is fitted and "
+                             "1.0 would be persisted as if calibrated)")
         import json
         cal_path = Path(args.checkpoint) / "calibration.json"
         cal_path.write_text(json.dumps(

@@ -178,11 +178,16 @@ class EmotionRecognitionInterface:
                 self.params, batch, jax.random.key(seed), num_tta)
         else:
             logits, uncertainty, anchor = self._fwd(self.params, batch)
-        logits = np.asarray(logits, np.float64) / self.temperature
+        # Temperature divides only the softmax input; the returned "logits"
+        # stay RAW model logits so downstream consumers (energy scores,
+        # re-fitting a temperature, the 'Raw Logits' viz panel) see the
+        # un-scaled values the predict contract documents.
+        logits = np.asarray(logits, np.float64)
+        scaled = logits / self.temperature
         uncertainty = np.asarray(uncertainty, np.float64)
-        e = np.exp(logits - logits.max(axis=1, keepdims=True))
+        e = np.exp(scaled - scaled.max(axis=1, keepdims=True))
         probs = e / e.sum(axis=1, keepdims=True)
-        preds = logits.argmax(axis=1)
+        preds = scaled.argmax(axis=1)
         results = {
             "predictions": preds,
             "probabilities": probs,

@@ -341,18 +341,23 @@ class BatchingServer:
             batch["cond_feats"] = np.zeros(
                 tuple(spec["cond_feats"][0]), np.float32)
         out = bucket.model.predict(batch)
-        logits = out["logits"].astype(np.float64) / self.router.temperature
+        raw_logits = out["logits"].astype(np.float64)
+        logits = raw_logits / self.router.temperature
         if self.labels is None:
             self.labels = EMOTION_LABELS_6[:logits.shape[1]]
         mx = logits.max(axis=1, keepdims=True)
         e = np.exp(logits - mx)
         se = e.sum(axis=1, keepdims=True)
         probs = e / se
-        # energy OOD score E(x) = -logsumexp(logits) (ops/openmax.py
+        # energy OOD score E(x) = -logsumexp(RAW logits) (ops/openmax.py
         # semantics, utils.py:energy_score in the reference): more negative
         # = more in-distribution; production filter threshold lives client-
-        # side, matching eval/evaluate.py's reported energies
-        energies = -(np.log(se) + mx).reshape(-1)
+        # side. Deliberately computed pre-temperature so shipping a new
+        # calibration.json never rescales previously-fitted OOD thresholds
+        # (temperature calibrates probabilities, not the energy scale).
+        rmx = raw_logits.max(axis=1, keepdims=True)
+        energies = -(np.log(np.exp(raw_logits - rmx).sum(axis=1)) +
+                     rmx.reshape(-1))
         preds = logits.argmax(axis=1)
         unc = out["uncertainty"].reshape(-1)
         results = []

@@ -110,3 +110,7 @@ def test_interface_applies_saved_calibration(ckpt_and_wav, tmp_path):
     np.testing.assert_allclose(res1["probabilities"][0], e / e.sum(),
                                atol=2e-4)
     assert res1["confidence"][0] < res0["confidence"][0]
+    # the returned "logits" stay RAW model logits (temperature divides
+    # only the softmax input): energy scores / re-fitting a temperature
+    # downstream must see un-scaled values
+    np.testing.assert_allclose(res1["logits"], res0["logits"], atol=1e-5)

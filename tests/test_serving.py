@@ -428,4 +428,8 @@ def test_calibration_temperature_applied(bucketed_artifact):
     got = np.asarray([calib["probabilities"][k]
                       for k in serving.EMOTION_LABELS_6[:4]])
     np.testing.assert_allclose(got, want, atol=2e-4)
+    # the energy OOD score is computed from RAW logits, so shipping a
+    # calibration must NOT rescale it (client-side OOD thresholds fitted
+    # before calibration stay valid)
+    assert calib["energy"] == pytest.approx(base["energy"], abs=1e-5)
     assert calib["confidence"] < base["confidence"]  # T>1 flattens
