@@ -386,7 +386,15 @@ def condition_audio(wave: Array, mask: Array, *,
         need_denoise & (new_e > 0),
         10.0 * jnp.log10(jnp.maximum(new_e, 1e-20)
                          / jnp.maximum(orig_e, 1e-20)), 0.0)
-    snr_after = estimate_snr_energy(x, mask)
+    # When the whole batch skipped the denoiser, x is untouched, so the
+    # post-denoise SNR equals snr_before bit-exactly — skip the second
+    # estimate (its masked_quantile sorts the full [B, T] squared wave,
+    # measured ~7 ms @ B=64/4 s, the single most expensive DSP reduction;
+    # scripts/tpu_dsp_breakdown.py).
+    snr_after = jax.lax.cond(
+        need_denoise.any(),
+        lambda xx: estimate_snr_energy(xx, mask),
+        lambda xx: snr_before, x)
 
     t60 = estimate_t60(x, mask, sample_rate=sample_rate)
     x, dereverb_gain = dereverb(x, mask, t60, sample_rate=sample_rate)

@@ -151,9 +151,77 @@ def masked_std(x: Array, mask: Array, axis=-1, eps: float = 1e-10) -> Array:
     return jnp.sqrt(masked_var(x, mask, axis=axis, eps=eps))
 
 
+# Above this row length, masked_quantile switches from jnp.sort to an
+# exact bit-level binary search: TPU sorts are bitonic (O(n log^2 n)
+# memory passes — ~7 ms for [64, 64000] f32, the most expensive DSP
+# reduction), while 32 rank-count passes over the same array are ~8x less
+# traffic. Both paths return identical values (the search recovers true
+# order statistics), so the switch is purely a performance decision.
+_QUANTILE_BITSEARCH_MIN_N = 8192
+
+
+def _float_order_key(x: Array) -> Array:
+    """Monotonic uint32 key for f32 totals order: flip sign bit for
+    non-negatives, all bits for negatives (the classic radix-sort map)."""
+    u = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    neg = (u >> 31).astype(bool)
+    return jnp.where(neg, ~u, u | jnp.uint32(0x80000000))
+
+
+def _key_to_float(k: Array) -> Array:
+    neg = ~(k >> 31).astype(bool)          # keys < 0x80000000 were negative
+    u = jnp.where(neg, ~k, k & jnp.uint32(0x7FFFFFFF))
+    return jax.lax.bitcast_convert_type(u, jnp.float32)
+
+
+def _kth_smallest_key(keys: Array, target: Array) -> Array:
+    """Per-row (target)-th smallest uint32 key (1-indexed target [B]) via
+    lower-bound binary search on the key domain: smallest v with
+    count(keys <= v) >= target. Lands exactly on an existing key."""
+    B = keys.shape[0]
+    lo = jnp.zeros((B,), jnp.uint32)
+    hi = jnp.full((B,), 0xFFFFFFFF, jnp.uint32)
+
+    def body(_, lh):
+        lo, hi = lh
+        mid = lo + (hi - lo) // 2
+        cnt = (keys <= mid[:, None]).sum(axis=-1)
+        take = cnt >= target
+        return jnp.where(take, lo, mid + 1), jnp.where(take, mid, hi)
+
+    lo, hi = jax.lax.fori_loop(0, 32, body, (lo, hi))
+    return hi
+
+
+def _masked_quantile_bitsearch(x: Array, mask: Array, q: float) -> Array:
+    N = x.shape[-1]
+    big = jnp.finfo(jnp.float32).max
+    keys = _float_order_key(jnp.where(mask > 0, x.astype(jnp.float32), big))
+    n = mask.sum(axis=-1)
+    pos = q * jnp.maximum(n - 1.0, 0.0)
+    lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, N - 1)
+    hi = jnp.clip(lo + 1, 0, N - 1)
+    frac = (pos - lo.astype(pos.dtype)).astype(jnp.float32)
+
+    vlo_key = _kth_smallest_key(keys, lo + 1)
+    # rank lo+2 from vlo's key: duplicates of vlo spanning the next rank
+    # mean vhi == vlo; otherwise vhi is the smallest key strictly greater
+    cnt_le = (keys <= vlo_key[:, None]).sum(axis=-1)
+    gt = jnp.where(keys > vlo_key[:, None], keys, jnp.uint32(0xFFFFFFFF))
+    next_key = gt.min(axis=-1)
+    vhi_key = jnp.where(cnt_le >= lo + 2, vlo_key, next_key)
+
+    vlo = _key_to_float(vlo_key)
+    vhi = _key_to_float(vhi_key)
+    vhi = jnp.where(hi.astype(pos.dtype) <= pos, vlo, vhi)  # guard n==1 rows
+    return (vlo + frac * (vhi - vlo)).astype(x.dtype)
+
+
 def masked_quantile(x: Array, mask: Array, q: float) -> Array:
     """Per-row quantile over valid entries (linear interpolation, matching
     np.percentile). x, mask: [B, N] -> [B]."""
+    if x.ndim == 2 and x.shape[-1] >= _QUANTILE_BITSEARCH_MIN_N:
+        return _masked_quantile_bitsearch(x, mask, q)
     big = jnp.finfo(x.dtype).max
     xs = jnp.sort(jnp.where(mask > 0, x, big), axis=-1)
     n = mask.sum(axis=-1)

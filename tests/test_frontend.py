@@ -52,6 +52,36 @@ def test_masked_quantile_matches_numpy():
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_masked_quantile_bitsearch_exactly_matches_sort():
+    """Large rows route through the bit-level binary search
+    (spectral._masked_quantile_bitsearch); it recovers true order
+    statistics, so it must agree BIT-EXACTLY with the jnp.sort path on
+    every edge: duplicates, negatives, ties at the rank boundary,
+    near-empty masks, exact-integer interpolation positions."""
+    N = sp._QUANTILE_BITSEARCH_MIN_N
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((6, N)).astype(np.float32)
+    x[1] = np.round(x[1] * 2) / 2          # heavy duplicates
+    x[2] = np.abs(x[2]) ** 2               # non-negative (the sq use case)
+    x[3, :] = 0.25                         # all-equal row
+    mask = np.zeros((6, N), np.float32)
+    for i, L in enumerate([N, N - 1, N // 3, 10, 1, N // 2]):
+        mask[i, :L] = 1
+    xj, mj = jnp.asarray(x), jnp.asarray(mask)
+    for q in (0.0, 0.1, 0.3, 0.5, 0.9, 1.0):
+        fast = np.asarray(sp._masked_quantile_bitsearch(xj, mj, q))
+        # reference: the module's own sort path on the SAME data (force it
+        # by raising the routing threshold), so dtypes/rounding are shared
+        # and the comparison can be bit-exact
+        orig = sp._QUANTILE_BITSEARCH_MIN_N
+        sp._QUANTILE_BITSEARCH_MIN_N = N + 1
+        try:
+            slow = np.asarray(sp.masked_quantile(xj, mj, q))
+        finally:
+            sp._QUANTILE_BITSEARCH_MIN_N = orig
+        np.testing.assert_array_equal(fast, slow)
+
+
 def test_welch_psd_matches_scipy():
     x = speech_like(SR)  # exactly 1s, no padding
     wave = jnp.asarray(x)[None, :]
