@@ -36,7 +36,9 @@ import time
 
 import numpy as np
 
-BATCH = 64   # measured on v5e: throughput saturates ~B=64
+BATCH = 128  # measured on v5e: e2e knee is B=128 (1233/1412/1361 utt/s at
+             # B=64/128/256 — larger batches amortize launch overhead
+             # until activations spill)
 SECONDS = 4.0
 TEXT_TOKENS = 32
 WARMUP = 3

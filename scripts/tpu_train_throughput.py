@@ -89,9 +89,9 @@ def main():
                "clip_seconds": SECONDS}
         print(json.dumps(row), flush=True)
 
-    for B in (16, 32, 64):
+    for B in (16, 32, 64, 128):
         bench(B, precomputed=True, freeze=True)
-    for B in (16, 32, 64):
+    for B in (16, 32, 64, 128):
         bench(B, precomputed=False, freeze=True)
     bench(16, precomputed=True, freeze=False)
 
