@@ -43,6 +43,12 @@ def main():
                         "cli/export.py ships it with serving artifacts and "
                         "the serving daemon applies it")
     args = p.parse_args()
+    # pure flag validation BEFORE the (potentially hours-long) eval run
+    if args.save_temperature and not (args.calibrate and args.val_manifest):
+        raise SystemExit("--save_temperature requires --calibrate "
+                         "AND --val_manifest to fit one (without the "
+                         "val manifest no temperature is fitted and "
+                         "1.0 would be persisted as if calibrated)")
 
     from multilingual_multimodal_speech_emotion_recognition_tpu.utils import runtime
     runtime.configure(platform=args.platform)  # + persistent XLA compile cache
@@ -80,11 +86,6 @@ def main():
         print(f"Wrote {n} per-utterance predictions to "
               f"{args.predictions_out}")
     if args.save_temperature:
-        if not (args.calibrate and args.val_manifest):
-            raise SystemExit("--save_temperature requires --calibrate "
-                             "AND --val_manifest to fit one (without the "
-                             "val manifest no temperature is fitted and "
-                             "1.0 would be persisted as if calibrated)")
         import json
         cal_path = Path(args.checkpoint) / "calibration.json"
         cal_path.write_text(json.dumps(

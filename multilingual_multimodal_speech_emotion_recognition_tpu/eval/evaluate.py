@@ -153,10 +153,14 @@ def evaluate_manifest(params, cfg: Config, manifest: str, *,
     out = collect_logits(params, cfg, loader, mesh, use_tta=use_tta,
                          num_tta=num_tta, use_openmax=True)
     logits, labels = out["logits"], out["labels"]
-    if calibrate:
-        logits = temperature_scaling(logits, optimal_temp)
+    # Calibration scales the SOFTMAX inputs only. `logits` and the energy
+    # OOD score stay RAW (temperature-invariant) — the same contract as the
+    # serving daemon and interface, so OOD thresholds fitted on this
+    # surface's output transfer to production unchanged. preds are argmax
+    # of raw logits, identical to the scaled argmax for any T > 0.
+    scaled = temperature_scaling(logits, optimal_temp) if calibrate else logits
 
-    e = np.exp(logits - logits.max(axis=1, keepdims=True))
+    e = np.exp(scaled - scaled.max(axis=1, keepdims=True))
     probs = e / e.sum(axis=1, keepdims=True)
     preds = logits.argmax(axis=1)
     energies = np.asarray(om.energy_score(jnp.asarray(logits)))
@@ -222,13 +226,21 @@ def write_predictions_jsonl(results: Dict, manifest: str,
     from ..data.manifest import read_manifest
 
     rows = read_manifest(manifest)
+    if len(results["preds"]) and len(results["indices"]) != len(
+            results["preds"]):
+        # BucketedLoader groups by duration, so eval order != manifest
+        # order — joining positionally would attribute every field to the
+        # wrong clip. Fail loudly instead.
+        raise ValueError(
+            "results carry no per-example manifest indices; the loader "
+            "must emit 'indices' to join predictions back to manifest rows")
     names = SIX_NAMES[:results["probs"].shape[1]] if len(
         results["probs"]) else SIX_NAMES
     n = 0
     with open(out_path, "w") as f:
         for i in range(len(results["preds"])):
-            idx = int(results["indices"][i]) if len(results["indices"]) else i
-            row = rows[idx] if idx < len(rows) else {}
+            idx = int(results["indices"][i])
+            row = rows[idx] if 0 <= idx < len(rows) else {}
             p = results["probs"][i]
             rec = {
                 "index": idx,

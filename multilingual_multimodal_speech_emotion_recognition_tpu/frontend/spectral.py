@@ -220,7 +220,12 @@ def _masked_quantile_bitsearch(x: Array, mask: Array, q: float) -> Array:
 def masked_quantile(x: Array, mask: Array, q: float) -> Array:
     """Per-row quantile over valid entries (linear interpolation, matching
     np.percentile). x, mask: [B, N] -> [B]."""
-    if x.ndim == 2 and x.shape[-1] >= _QUANTILE_BITSEARCH_MIN_N:
+    # The bitsearch path operates on f32 bit patterns, so it is exact only
+    # for f32 input; other float dtypes keep the dtype-faithful sort path
+    # regardless of row length (a f64/bf16 caller must not silently change
+    # numerics at the length threshold).
+    if (x.ndim == 2 and x.shape[-1] >= _QUANTILE_BITSEARCH_MIN_N
+            and x.dtype == jnp.float32):
         return _masked_quantile_bitsearch(x, mask, q)
     big = jnp.finfo(x.dtype).max
     xs = jnp.sort(jnp.where(mask > 0, x, big), axis=-1)

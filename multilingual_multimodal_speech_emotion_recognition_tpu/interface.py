@@ -61,8 +61,12 @@ class EmotionRecognitionInterface:
         self.temperature = 1.0
         cal = Path(checkpoint_path) / "calibration.json"
         if cal.exists():
-            self.temperature = float(
-                json.loads(cal.read_text()).get("temperature", 1.0))
+            t = float(json.loads(cal.read_text()).get("temperature", 1.0))
+            if not (np.isfinite(t) and t > 0.0):
+                raise ValueError(
+                    f"{cal}: temperature must be a positive finite "
+                    f"number, got {t}")
+            self.temperature = t
         n = self.cfg.model.num_labels
         self.emotion_labels = (EMOTION_LABELS_6 if n == 6
                                else EMOTION_LABELS_4)[:n]

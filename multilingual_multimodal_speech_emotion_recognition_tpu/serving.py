@@ -32,6 +32,7 @@ from __future__ import annotations
 import base64
 import collections
 import json
+import math
 import queue
 import threading
 import time
@@ -100,8 +101,15 @@ class ArtifactRouter:
         self.temperature = 1.0
         cal = art / "calibration.json"
         if cal.exists():
-            self.temperature = float(
-                json.loads(cal.read_text()).get("temperature", 1.0))
+            t = float(json.loads(cal.read_text()).get("temperature", 1.0))
+            # T<=0 or NaN would silently corrupt every served prediction
+            # (T<0 flips argmax; T=0 yields inf/NaN softmax) — refuse to
+            # start rather than serve garbage.
+            if not (math.isfinite(t) and t > 0.0):
+                raise ValueError(
+                    f"{cal}: temperature must be a positive finite "
+                    f"number, got {t}")
+            self.temperature = t
         if preload:
             for b in self.buckets:
                 b.model  # noqa: B018 — force deserialization now

@@ -60,12 +60,13 @@ def main():
     rng = np.random.default_rng(0)
     T = int(SECONDS * 16000)
     lengths = rng.integers(int(0.6 * T), T, BATCH)
-    mask = jnp.asarray(
-        (np.arange(T)[None, :] < lengths[:, None]).astype(np.float32))
+    # mask stays in numpy until the end: multiplying on host avoids a
+    # ~16 MB device->host fetch over the ~3 MB/s relay link
+    mask_np = (np.arange(T)[None, :] < lengths[:, None]).astype(np.float32)
+    mask = jnp.asarray(mask_np)
     clean = jnp.asarray(
         rng.standard_normal((BATCH, T)).astype(np.float32) * 0.1)
-    worst = jnp.asarray(bm.worst_case_dsp_audio(rng, BATCH, T)
-                        * np.asarray(mask))
+    worst = jnp.asarray(bm.worst_case_dsp_audio(rng, BATCH, T) * mask_np)
     ent = jnp.full((BATCH,), 1.0, jnp.float32)
     conf = jnp.zeros((BATCH,), jnp.float32)
 

@@ -115,6 +115,12 @@ def test_train_eval_checkpoint_resume(synth_data, tmp_path):
                                    val_manifest=str(root / "val.jsonl"),
                                    verbose=False)
     assert res_cal["temperature"] > 0
+    # calibration scales softmax inputs ONLY: returned logits and the
+    # energy OOD score stay raw (temperature-invariant — same contract as
+    # the serving daemon), so thresholds fitted here transfer to serving
+    np.testing.assert_allclose(res_cal["logits"], res["logits"], atol=1e-9)
+    np.testing.assert_allclose(res_cal["energies"], res["energies"],
+                               atol=1e-6)
 
     # resume: run 1 extra epoch from the saved state
     cfg2 = _config(root, tmp_path / "ckpt2", epochs=11,

@@ -308,3 +308,39 @@ def test_tta_step_text_encode_once_matches_naive_tiling():
     B = batch["audio"].shape[0]
     want = np.asarray(out.logits.reshape(V, B, -1).mean(axis=0))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+# -------------------------------------------------- predictions JSONL join
+
+def test_write_predictions_jsonl_requires_indices(tmp_path):
+    """BucketedLoader groups by duration, so eval order != manifest order;
+    joining positionally would mislabel every clip. Results without
+    per-example indices must fail loudly, and out-of-range indices must
+    not wrap (rows[-1]) to the wrong manifest row."""
+    import json
+
+    from multilingual_multimodal_speech_emotion_recognition_tpu.eval import (
+        evaluate as ev)
+
+    man = tmp_path / "m.jsonl"
+    man.write_text("".join(
+        json.dumps({"audio": f"a{i}.wav", "label": i % 2, "text": "x",
+                    "dataset": "t"}) + "\n" for i in range(3)))
+    probs = np.full((3, 4), 0.25)
+    base = {"preds": np.zeros(3, np.int64), "labels": np.zeros(3, np.int64),
+            "probs": probs, "energies": np.zeros(3)}
+
+    with pytest.raises(ValueError, match="indices"):
+        ev.write_predictions_jsonl(
+            {**base, "indices": np.zeros((0,), np.int32)},
+            str(man), str(tmp_path / "p.jsonl"))
+
+    # -1 padding sentinel: row fields must come out empty, not rows[-1]
+    out = tmp_path / "p2.jsonl"
+    ev.write_predictions_jsonl(
+        {**base, "indices": np.array([2, -1, 0], np.int32)},
+        str(man), str(out))
+    recs = [json.loads(l) for l in out.read_text().splitlines()]
+    assert recs[0]["audio"] == "a2.wav"
+    assert recs[1]["audio"] is None
+    assert recs[2]["audio"] == "a0.wav"

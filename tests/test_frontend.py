@@ -82,6 +82,31 @@ def test_masked_quantile_bitsearch_exactly_matches_sort():
         np.testing.assert_array_equal(fast, slow)
 
 
+def test_masked_quantile_bitsearch_is_f32_only():
+    """The bitsearch path manipulates f32 bit patterns, so routing must
+    send non-f32 dtypes through the sort path even above the length
+    threshold (a bf16/f64 caller must not change numerics at the knee)."""
+    N = sp._QUANTILE_BITSEARCH_MIN_N
+    x = RNG.standard_normal((2, N)).astype(np.float32)
+    mask = np.ones((2, N), np.float32)
+    called = []
+    orig = sp._masked_quantile_bitsearch
+    sp._masked_quantile_bitsearch = (
+        lambda *a, **k: called.append(1) or orig(*a, **k))
+    try:
+        sp.masked_quantile(jnp.asarray(x), jnp.asarray(mask), 0.5)
+        assert called, "f32 above the threshold should use bitsearch"
+        called.clear()
+        got = sp.masked_quantile(jnp.asarray(x, jnp.bfloat16),
+                                 jnp.asarray(mask), 0.5)
+        assert not called, "non-f32 must stay on the sort path"
+        want = np.median(x.astype(jnp.bfloat16).astype(np.float32), axis=-1)
+        np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                                   rtol=2e-2)
+    finally:
+        sp._masked_quantile_bitsearch = orig
+
+
 def test_welch_psd_matches_scipy():
     x = speech_like(SR)  # exactly 1s, no padding
     wave = jnp.asarray(x)[None, :]

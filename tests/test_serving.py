@@ -433,3 +433,18 @@ def test_calibration_temperature_applied(bucketed_artifact):
     # before calibration stay valid)
     assert calib["energy"] == pytest.approx(base["energy"], abs=1e-5)
     assert calib["confidence"] < base["confidence"]  # T>1 flattens
+
+
+def test_bad_calibration_temperature_refused(bucketed_artifact):
+    """A zero/negative/NaN temperature in calibration.json must refuse to
+    start the router (T<0 flips argmax, T=0 yields NaN softmax) rather
+    than silently serve corrupted predictions."""
+    art, cfg, params = bucketed_artifact
+    for bad in (0.0, -2.0, float("nan")):
+        (art / "calibration.json").write_text(
+            json.dumps({"temperature": bad}))
+        try:
+            with pytest.raises(ValueError, match="temperature"):
+                serving.ArtifactRouter(art)
+        finally:
+            (art / "calibration.json").unlink()
