@@ -221,11 +221,28 @@ def masked_group_norm_per_channel(p: dict, x: Array, frame_mask: Array,
 
 
 def feature_encoder(params: dict, cfg: Wav2Vec2Config, wave: Array,
-                    sample_mask: Array) -> Tuple[Array, Array]:
-    """Strided conv stack: [B, T] -> ([B, T7, 512], frame_mask [B, T7])."""
+                    sample_mask: Array, *,
+                    allow_fused: bool = False) -> Tuple[Array, Array]:
+    """Strided conv stack: [B, T] -> ([B, T7, 512], frame_mask [B, T7]).
+
+    On TPU in bf16 the six stride-2 tail layers (kernels 3,3,3,3,2,2 —
+    ~31% of the flagship's FLOPs) run as one VMEM-resident Pallas kernel
+    (ops/pallas_kernels.conv_tail_pallas) instead of six lax.convs with
+    HBM-materialized activations between them. `allow_fused` is threaded
+    from the caller's `deterministic` flag: the kernel has no custom VJP,
+    so differentiated (unfrozen-backbone training) forwards keep the
+    lax.conv path. Values match within bf16 rounding (the kernel's k=3
+    layers round the two partial matmul sums separately)."""
+    from ..ops import pallas_kernels as pk
+
     x = wave[..., None]  # [B, T, 1]
     lengths = jnp.sum(sample_mask.astype(jnp.int32), axis=-1)
-    for i, conv in enumerate(params["convs"]):
+    convs = params["convs"]
+    use_fused = (
+        allow_fused and wave.dtype == jnp.bfloat16 and pk.use_pallas()
+        and pk.conv_tail_supported(cfg.conv_kernel, cfg.conv_stride,
+                                   cfg.conv_dim))
+    for i, conv in enumerate(convs):
         x = _conv1d(conv, x, cfg.conv_stride[i])
         lengths = (lengths - cfg.conv_kernel[i]) // cfg.conv_stride[i] + 1
         if cfg.feat_extract_norm == "layer":
@@ -236,6 +253,14 @@ def feature_encoder(params: dict, cfg: Wav2Vec2Config, wave: Array,
             fm = (jnp.arange(x.shape[1])[None, :] < lengths[:, None])
             x = masked_group_norm_per_channel(params["group_norm"], x, fm)
         x = layers.gelu(x)
+        if i == 0 and use_fused:
+            x = pk.conv_tail_pallas(
+                convs, x, has_ln=(cfg.feat_extract_norm == "layer"),
+                ln_eps=cfg.layer_norm_eps)
+            for j in range(1, len(convs)):
+                lengths = ((lengths - cfg.conv_kernel[j])
+                           // cfg.conv_stride[j] + 1)
+            break
     frame_mask = (jnp.arange(x.shape[1])[None, :] < lengths[:, None]).astype(x.dtype)
     return x, frame_mask
 
@@ -373,7 +398,8 @@ def wav2vec2_encode(params: dict, cfg: Wav2Vec2Config, wave: Array,
         # activations would double its traffic (the reference's --use_amp
         # autocasts its conv path to half precision the same way)
         wave = normalize_waveform(wave, sample_mask).astype(wave.dtype)
-    feats, frame_mask = feature_encoder(params, cfg, wave, sample_mask)
+    feats, frame_mask = feature_encoder(params, cfg, wave, sample_mask,
+                                        allow_fused=deterministic)
 
     h = layers.layer_norm(params["feat_proj"]["ln"], feats, eps=cfg.layer_norm_eps)
     h = layers.linear(params["feat_proj"]["proj"], h)

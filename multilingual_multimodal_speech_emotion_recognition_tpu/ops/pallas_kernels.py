@@ -346,3 +346,176 @@ def flash_attention(q: Array, k: Array, v: Array, kv_mask: Array, *,
     out = out[:, :Sq, :]
     return (out.reshape(B, num_heads, Sq, Dh).transpose(0, 2, 1, 3)
             .reshape(B, Sq, D))
+
+
+# ---------------------------------------------------------------------------
+# fused wav2vec2 conv-extractor tail
+# ---------------------------------------------------------------------------
+#
+# Layers 1-6 of the HF wav2vec2/hubert/wavlm feature encoder — kernels
+# (3,3,3,3,2,2), all stride 2, uniform channels C — are ~31% of the
+# flagship's FLOPs (19.5 GFLOP per 4 s utterance) yet run at ~25% MXU
+# efficiency as six separate lax.conv ops with HBM-materialized activations
+# between them ([B,6399,512] + [B,3199,512] + ... per 4 s clip). This
+# kernel runs the whole tail VMEM-resident per (batch row, time tile):
+#
+#   * the input arrives PAIR-FOLDED ([B, T/2, 2C], a free row-major
+#     reshape), so each stride-2 conv is expressed as MXU matmuls:
+#       k=3:  y[t] = P[t] @ [W0;W1] + P[t+1][:C] @ W2
+#       k=2:  y[t] = P[t] @ [W0;W1]
+#     with P the pair rows — no wasted FLOPs vs the true conv.
+#   * the stride product of the tail is 64, so a tile of F7 final frames
+#     needs exactly 64*F7 input frames plus a 15-frame receptive-field
+#     spill; the spill is fetched through a second BlockSpec view onto the
+#     next tile's first _TAIL_HALO frames (the array is padded so the last
+#     tile's halo is in bounds).
+#   * weights (one [6,2C,C] stack + one [4,C,C] stack, ~8.4 MB bf16 at
+#     C=512) have constant index maps, so Pallas fetches them once and
+#     keeps them VMEM-resident across the whole grid.
+#
+# Numerics vs the lax.conv path: each matmul accumulates f32 on the MXU
+# and rounds to the activation dtype per matmul; the k=3 layers therefore
+# round twice (Z1+Z2) where lax.conv rounds once — a ≤1-ulp bf16
+# difference (tests bound it). GELU/LayerNorm policies are shared with
+# models/layers.py (tanh-approx GELU in bf16, f32 LN moments).
+#
+# Wired by models/wav2vec2.feature_encoder on TPU for bf16 non-differentiated
+# forwards; measured numbers live next to the wiring.
+
+_TAIL_KERNELS = (3, 3, 3, 3, 2, 2)
+_TAIL_STRIDE_PRODUCT = 64
+_TAIL_SPILL = 15          # receptive-field frames beyond 64*F7
+_TAIL_HALO = 32           # fetched halo frames (≥ spill, pair-even)
+
+
+def _tail_row_plan(f7: int):
+    """Per-layer (n_pairs_in, n_rows_out) row bookkeeping for one tile.
+    Row counts follow conv arithmetic: a k=3/s=2 layer over 2n frames
+    yields n-1 usable rows (the last pair lacks its +2 neighbour); a
+    k=2/s=2 layer yields exactly n."""
+    frames = f7 * _TAIL_STRIDE_PRODUCT + _TAIL_HALO
+    plan = []
+    for k in _TAIL_KERNELS:
+        pairs = frames // 2
+        out = pairs - 1 if k == 3 else pairs
+        plan.append((pairs, out))
+        frames = out if out % 2 == 0 else out - 1  # next fold needs even
+    assert frames == f7, (f7, plan)
+    return plan
+
+
+def _conv_tail_kernel(x_ref, halo_ref, w01, w2, bias, ln_s, ln_b, out_ref,
+                      *, f7: int, has_ln: bool, approx_gelu: bool,
+                      ln_eps: float):
+    C = out_ref.shape[-1]
+    plan = _tail_row_plan(f7)
+    y = jnp.concatenate([x_ref[0], halo_ref[0]], axis=0)   # [pairs, 2C]
+    w2_idx = 0
+    for i, k in enumerate(_TAIL_KERNELS):
+        pairs, n_out = plan[i]
+        z = jnp.dot(y, w01[i], preferred_element_type=jnp.float32)
+        if k == 3:
+            z2 = jnp.dot(y[:, :C], w2[w2_idx],
+                         preferred_element_type=jnp.float32)
+            z = z[:n_out] + z2[1:n_out + 1]
+            w2_idx += 1
+        z = z.astype(out_ref.dtype) + bias[i]               # [n_out, C]
+        if has_ln:
+            z = (_ln_eps(z, ln_s[i], ln_b[i], ln_eps)
+                 .astype(out_ref.dtype))
+        z = jax.nn.gelu(z, approximate=approx_gelu)
+        if i < len(_TAIL_KERNELS) - 1:
+            even = n_out if n_out % 2 == 0 else n_out - 1
+            y = z[:even].reshape(even // 2, 2 * C)          # pair-fold
+    out_ref[0] = z
+
+
+def _ln_eps(x, scale, bias, eps):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    return ((xf - mean) * jax.lax.rsqrt(var + eps)
+            * scale.astype(jnp.float32) + bias.astype(jnp.float32))
+
+
+def conv_tail_supported(conv_kernel, conv_stride, conv_dim) -> bool:
+    """True when the conv stack's tail matches the fused geometry: kernels
+    (K0,3,3,3,3,2,2), strides (S0,2,2,2,2,2,2), uniform lane-aligned
+    channels (the HF wav2vec2/hubert/wavlm base AND large extractors)."""
+    return (tuple(conv_kernel[1:]) == _TAIL_KERNELS
+            and all(s == 2 for s in conv_stride[1:])
+            and len(set(conv_dim)) == 1
+            and conv_dim[0] % 128 == 0)
+
+
+def conv_tail_pallas(convs: list, x1: Array, *, has_ln: bool,
+                     ln_eps: float = 1e-5, f7: int = 16) -> Array:
+    """Fused conv layers 1..6 over the layer-0 output x1 [B, T1, C].
+    convs: params["convs"] (list of {"kernel" [K,Cin,Cout], optional
+    "bias" [Cout], optional "ln" {scale,bias}}); returns [B, T7, C] with
+    T7 the exact conv arithmetic length (matching the lax.conv loop)."""
+    B, T1, C = x1.shape
+    dtype = x1.dtype
+    approx_gelu = dtype == jnp.bfloat16
+
+    # exact output length of the six stride-2 layers
+    t = T1
+    for k in _TAIL_KERNELS:
+        t = (t - k) // 2 + 1
+    T7 = t
+
+    n_tiles = _cdiv(T7, f7)
+    in_frames = f7 * _TAIL_STRIDE_PRODUCT
+    T1p = n_tiles * in_frames + _TAIL_HALO
+    x1 = jnp.pad(x1, ((0, 0), (0, T1p - T1), (0, 0)))
+    xp = x1.reshape(B, T1p // 2, 2 * C)                    # free pair-fold
+
+    w01 = jnp.stack([
+        jnp.concatenate([c["kernel"][0], c["kernel"][1]], axis=0)
+        for c in convs[1:]]).astype(dtype)                 # [6, 2C, C]
+    w2 = jnp.stack([c["kernel"][2] for c in convs[1:5]]).astype(dtype)
+    bias = jnp.stack([
+        (c["bias"] if "bias" in c else jnp.zeros((C,), dtype))
+        for c in convs[1:]]).astype(dtype).reshape(6, 1, C)
+    if has_ln:
+        ln_s = jnp.stack([c["ln"]["scale"] for c in convs[1:]]).reshape(
+            6, 1, C)
+        ln_b = jnp.stack([c["ln"]["bias"] for c in convs[1:]]).reshape(
+            6, 1, C)
+    else:
+        ln_s = jnp.zeros((6, 1, C), dtype)
+        ln_b = jnp.zeros((6, 1, C), dtype)
+
+    pairs_in = in_frames // 2
+    pairs_halo = _TAIL_HALO // 2
+    const3 = lambda shape: pl.BlockSpec(shape, lambda b, i: (0, 0, 0),
+                                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_conv_tail_kernel, f7=f7, has_ln=has_ln,
+                          approx_gelu=approx_gelu, ln_eps=ln_eps),
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, pairs_in, 2 * C), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            # halo: first _TAIL_HALO frames of the NEXT tile, expressed as
+            # a block of pairs_halo rows at block index (i+1)*ratio
+            pl.BlockSpec((1, pairs_halo, 2 * C),
+                         lambda b, i: (b, (i + 1) * (pairs_in // pairs_halo),
+                                       0),
+                         memory_space=pltpu.VMEM),
+            const3((6, 2 * C, C)),
+            const3((4, C, C)),
+            const3((6, 1, C)),
+            const3((6, 1, C)),
+            const3((6, 1, C)),
+        ],
+        out_specs=pl.BlockSpec((1, f7, C), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n_tiles * f7, C), dtype),
+        interpret=_interpret(),
+    )(xp, xp, w01, w2, bias, ln_s, ln_b)
+    return out[:, :T7]
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)

@@ -103,3 +103,103 @@ def test_flash_attention_self_attention_and_single_block():
                              block_q=128, block_k=128)  # one block
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+# ------------------------------------------------- fused conv-extractor tail
+
+def _tail_reference(convs, x1, *, has_ln, ln_eps=1e-5):
+    """The lax.conv loop over layers 1..6 (models/wav2vec2.feature_encoder
+    fallback path), starting from the layer-0 output x1."""
+    from multilingual_multimodal_speech_emotion_recognition_tpu.models import (
+        layers, wav2vec2 as w2v)
+    x = x1
+    for conv in convs[1:]:
+        x = w2v._conv1d(conv, x, 2)
+        if has_ln:
+            x = layers.layer_norm(conv["ln"], x, eps=ln_eps)
+        x = layers.gelu(x)
+    return x
+
+
+def _make_tail_convs(key, C, *, has_ln, has_bias, K0=10):
+    ks = (K0, 3, 3, 3, 3, 2, 2)
+    convs = []
+    for i, K in enumerate(ks):
+        cin = 1 if i == 0 else C
+        k = jax.random.split(key, len(ks))[i]
+        conv = {"kernel": 0.1 * jax.random.normal(k, (K, cin, C))}
+        if has_bias:
+            conv["bias"] = 0.1 * jax.random.normal(k, (C,))
+        if has_ln:
+            conv["ln"] = {"scale": 1.0 + 0.1 * jax.random.normal(k, (C,)),
+                          "bias": 0.1 * jax.random.normal(k, (C,))}
+        convs.append(conv)
+    return convs
+
+
+def test_conv_tail_matches_lax_conv_loop():
+    """Interpret-mode parity of the fused tail vs the six-lax.conv loop,
+    across norm modes, bias presence, odd lengths, and both dtypes."""
+    C = 128
+    for case, (has_ln, has_bias, T1, dtype, tol) in enumerate([
+            (False, False, 3199, np.float32, 1e-5),   # base geometry (1 s)
+            (True, True, 3199, np.float32, 1e-5),     # large geometry
+            (False, False, 1030, np.float32, 1e-5),   # sub-tile + ragged
+            (False, False, 3199, jnp.bfloat16, 4e-2), # serving dtype
+    ]):
+        convs = _make_tail_convs(jax.random.key(case), C,
+                                 has_ln=has_ln, has_bias=has_bias)
+        x1 = jax.random.normal(jax.random.key(100 + case),
+                               (2, T1, C)).astype(dtype)
+        convs = jax.tree.map(lambda a: a.astype(dtype), convs)
+        want = np.asarray(_tail_reference(convs, x1, has_ln=has_ln),
+                          np.float32)
+        got = np.asarray(pk.conv_tail_pallas(convs, x1, has_ln=has_ln),
+                         np.float32)
+        assert got.shape == want.shape, (case, got.shape, want.shape)
+        np.testing.assert_allclose(got, want, rtol=tol, atol=tol,
+                                   err_msg=f"case {case}")
+
+
+def test_conv_tail_supported_gating():
+    assert pk.conv_tail_supported((10, 3, 3, 3, 3, 2, 2),
+                                  (5, 2, 2, 2, 2, 2, 2), (512,) * 7)
+    # tiny test configs / non-matching stacks fall back to lax.conv
+    assert not pk.conv_tail_supported((10, 3), (10, 8), (8, 8))
+    assert not pk.conv_tail_supported((10, 3, 3, 3, 3, 2, 2),
+                                      (5, 2, 2, 2, 2, 2, 2), (512,) * 6 + (256,))
+    assert not pk.conv_tail_supported((10, 3, 3, 3, 3, 2, 2),
+                                      (5, 2, 2, 2, 2, 2, 2), (100,) * 7)
+
+
+def test_feature_encoder_fused_path_matches(monkeypatch):
+    """feature_encoder with the fused path forced on equals the lax.conv
+    path bit-for-tolerance, including the frame-mask lengths."""
+    from multilingual_multimodal_speech_emotion_recognition_tpu.models import (
+        wav2vec2 as w2v)
+    from multilingual_multimodal_speech_emotion_recognition_tpu.config import (
+        Wav2Vec2Config)
+    C = 128
+    cfg = Wav2Vec2Config(conv_dim=(C,) * 7, conv_stride=(5, 2, 2, 2, 2, 2, 2),
+                         conv_kernel=(10, 3, 3, 3, 3, 2, 2), hidden_size=32,
+                         num_hidden_layers=1, num_attention_heads=4,
+                         intermediate_size=64)
+    params = {"convs": _make_tail_convs(jax.random.key(7), C, has_ln=False,
+                                        has_bias=False),
+              "group_norm": {"scale": jnp.ones((C,)), "bias": jnp.zeros((C,))}}
+    wave = jax.random.normal(jax.random.key(8), (3, 16000), jnp.bfloat16)
+    mask = np.ones((3, 16000), np.float32)
+    mask[1, 9000:] = 0
+    mask = jnp.asarray(mask)
+
+    want, fm_want = w2v.feature_encoder(params, cfg, wave, mask,
+                                        allow_fused=False)
+    monkeypatch.setattr(pk, "use_pallas", lambda: True)
+    monkeypatch.setattr(pk, "_interpret", lambda: True)  # interpret on CPU
+    got, fm_got = w2v.feature_encoder(params, cfg, wave, mask,
+                                      allow_fused=True)
+    assert got.shape == want.shape
+    np.testing.assert_array_equal(np.asarray(fm_got), np.asarray(fm_want))
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=4e-2, atol=4e-2)
