@@ -225,14 +225,18 @@ def feature_encoder(params: dict, cfg: Wav2Vec2Config, wave: Array,
                     allow_fused: bool = False) -> Tuple[Array, Array]:
     """Strided conv stack: [B, T] -> ([B, T7, 512], frame_mask [B, T7]).
 
-    On TPU in bf16 the six stride-2 tail layers (kernels 3,3,3,3,2,2 —
-    ~31% of the flagship's FLOPs) run as one VMEM-resident Pallas kernel
-    (ops/pallas_kernels.conv_tail_pallas) instead of six lax.convs with
-    HBM-materialized activations between them. `allow_fused` is threaded
-    from the caller's `deterministic` flag: the kernel has no custom VJP,
-    so differentiated (unfrozen-backbone training) forwards keep the
-    lax.conv path. Values match within bf16 rounding (the kernel's k=3
-    layers round the two partial matmul sums separately)."""
+    `allow_fused=True` routes the six stride-2 tail layers (kernels
+    3,3,3,3,2,2 — ~31% of the flagship's FLOPs) through one VMEM-resident
+    Pallas kernel (ops/pallas_kernels.conv_tail_pallas). MEASURED SLOWER
+    on v5e and left off by default: whole extractor @ B=32/4 s bf16 is
+    7.3 ms via lax.conv vs 14.0 ms fused (flat across tile sizes
+    f7=16/32/64; scripts/tpu_conv_tail_bench.py). XLA's conv path already
+    runs ~45% MXU with GELU fused into the conv epilogue and HBM traffic
+    overlapped, while the kernel's per-tile MXU -> VPU(gelu) -> pair-fold
+    chain is serial (~16 us/step: 7.6 matmul + ~4 gelu + ~4 fold) — the
+    extractor is compute/VPU-balanced, not memory-bound, so removing the
+    inter-layer HBM traffic buys nothing. Values match within bf16
+    rounding either way (tests force the fused path in interpret mode)."""
     from ..ops import pallas_kernels as pk
 
     x = wave[..., None]  # [B, T, 1]
@@ -398,8 +402,9 @@ def wav2vec2_encode(params: dict, cfg: Wav2Vec2Config, wave: Array,
         # activations would double its traffic (the reference's --use_amp
         # autocasts its conv path to half precision the same way)
         wave = normalize_waveform(wave, sample_mask).astype(wave.dtype)
-    feats, frame_mask = feature_encoder(params, cfg, wave, sample_mask,
-                                        allow_fused=deterministic)
+    # allow_fused stays False: the Pallas conv-tail kernel measured SLOWER
+    # than the lax.conv loop on v5e (see feature_encoder docstring)
+    feats, frame_mask = feature_encoder(params, cfg, wave, sample_mask)
 
     h = layers.layer_norm(params["feat_proj"]["ln"], feats, eps=cfg.layer_norm_eps)
     h = layers.linear(params["feat_proj"]["proj"], h)

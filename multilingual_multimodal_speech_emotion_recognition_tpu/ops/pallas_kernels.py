@@ -354,10 +354,8 @@ def flash_attention(q: Array, k: Array, v: Array, kv_mask: Array, *,
 #
 # Layers 1-6 of the HF wav2vec2/hubert/wavlm feature encoder — kernels
 # (3,3,3,3,2,2), all stride 2, uniform channels C — are ~31% of the
-# flagship's FLOPs (19.5 GFLOP per 4 s utterance) yet run at ~25% MXU
-# efficiency as six separate lax.conv ops with HBM-materialized activations
-# between them ([B,6399,512] + [B,3199,512] + ... per 4 s clip). This
-# kernel runs the whole tail VMEM-resident per (batch row, time tile):
+# flagship's FLOPs (19.5 GFLOP per 4 s utterance). This kernel runs the
+# whole tail VMEM-resident per (batch row, time tile):
 #
 #   * the input arrives PAIR-FOLDED ([B, T/2, 2C], a free row-major
 #     reshape), so each stride-2 conv is expressed as MXU matmuls:
@@ -379,8 +377,17 @@ def flash_attention(q: Array, k: Array, v: Array, kv_mask: Array, *,
 # difference (tests bound it). GELU/LayerNorm policies are shared with
 # models/layers.py (tanh-approx GELU in bf16, f32 LN moments).
 #
-# Wired by models/wav2vec2.feature_encoder on TPU for bf16 non-differentiated
-# forwards; measured numbers live next to the wiring.
+# NOT wired into the default model — measured SLOWER than the lax.conv
+# loop on v5e (whole extractor @ B=32/4 s bf16: 7.3 ms lax vs 14.0 ms
+# fused, flat across f7=16/32/64; scripts/tpu_conv_tail_bench.py). XLA's
+# conv path already achieves ~45% MXU with GELU fused into the epilogue
+# and HBM traffic overlapped with compute — the extractor is compute/VPU-
+# balanced, not memory-bound, so the VMEM residency buys nothing, while
+# the kernel's per-tile MXU -> VPU(gelu) -> pair-fold chain is serial
+# (~16 us/step: ~7.6 matmul + ~4 gelu + ~4 fold, probed per-component).
+# Kept as tested infrastructure (opt-in via feature_encoder(allow_fused=
+# True)); values match the lax path within bf16 rounding on hardware
+# (max |err| 0.031 on outputs spanning ±2.8).
 
 _TAIL_KERNELS = (3, 3, 3, 3, 2, 2)
 _TAIL_STRIDE_PRODUCT = 64
@@ -512,6 +519,13 @@ def conv_tail_pallas(convs: list, x1: Array, *, has_ln: bool,
         out_specs=pl.BlockSpec((1, f7, C), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, n_tiles * f7, C), dtype),
+        compiler_params=pltpu.CompilerParams(
+            # every (batch row, tile) is independent — let Mosaic pipeline
+            # freely; raise the VMEM cap for the f7>=32 tile sizes (weights
+            # 8.4 MB + double-buffered input blocks)
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
         interpret=_interpret(),
     )(xp, xp, w01, w2, bias, ln_s, ln_b)
     return out[:, :T7]

@@ -87,7 +87,7 @@ def main():
             lambda p, w, m: w2v.feature_encoder(
                 p, cfg, w, m, allow_fused=False)[0])(params, wave, mask),
             np.float32)
-        err = float(np.max(np.abs(a - b) / (np.abs(b) + 1e-3)))
+        err = float(np.max(np.abs(a - b)))
 
         # tail FLOPs (layers 1-6) for MXU-efficiency context
         t1 = (T - 10) // 5 + 1
