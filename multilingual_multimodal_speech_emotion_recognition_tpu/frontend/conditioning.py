@@ -191,8 +191,10 @@ def spectral_gate_denoise(wave: Array, mask: Array, *, n_fft: int = 1024,
     w = jnp.pad(wave, [(0, 0), (pad, pad)], mode="reflect")
     frames = sp.frame_signal(w, n_fft, hop)                      # [B, F, n]
     win = jnp.asarray(sp.hann_window(n_fft))
-    spec = jnp.fft.rfft(frames * win, axis=-1)                   # [B, F, bins]
-    mag = jnp.abs(spec)
+    # MXU matmul-DFT on TPU (sp.framed_rfft) — XLA's VPU FFT measured ~6 ms
+    # per direction at [128, 253, 1024] (docs/PERFORMANCE.md)
+    re, im = sp.framed_rfft(frames * win)                        # [B, F, bins]
+    mag = jnp.sqrt(re * re + im * im)
 
     m = jnp.pad(mask, [(0, 0), (pad, pad)])
     fmask = (sp.frame_signal(m, n_fft, hop).mean(-1) > 0.25).astype(wave.dtype)
@@ -212,7 +214,7 @@ def spectral_gate_denoise(wave: Array, mask: Array, *, n_fft: int = 1024,
         lambda g: jnp.convolve(g, kernel, mode="same"),
         in_axes=-1, out_axes=-1))(gain)
 
-    recon_frames = jnp.fft.irfft(spec * gain, n=n_fft, axis=-1) * win
+    recon_frames = sp.framed_irfft(re * gain, im * gain, n_fft) * win
     # overlap-add without scatter: hop divides n_fft, so frames split into
     # n_fft//hop interleaved groups whose members tile contiguously —
     # each group adds via one reshape + dynamic_update_slice (a TPU scatter

@@ -65,6 +65,81 @@ def full_frame_mask(mask: Array, frame_length: int, hop: int,
     return out.at[..., 0].set(jnp.maximum(out[..., 0], 1.0))
 
 
+# --------------------------------------------------------------- framed DFT
+#
+# XLA's TPU FFT runs on the VPU and measured ~6 ms per direction for the
+# denoiser's [128, 253, 1024] frames (v5e, /tmp probe recorded in
+# docs/PERFORMANCE.md). Frame-sized transforms (n <= 4096) are instead
+# computed as real DFT MATMULS on the MXU: X = frames @ cos + i(frames @
+# (-sin)), ~68 GFLOP per direction at the denoiser shape — a few ms at
+# Precision.HIGH (bf16x3 passes, ~f32 accuracy: rel err ~1e-6, far below
+# every spectral tolerance in the test suite). Full-length transforms
+# (the notch/HPF 64 k-point round trip) keep jnp.fft — an O(n²) matmul
+# would lose there. CPU keeps pocketfft (fast, exact); tests force the
+# matmul path explicitly to pin its parity against jnp.fft.
+
+_DFT_MATMUL_MAX_N = 4096
+_FORCE_DFT_MATMUL = False  # tests flip this to exercise the TPU path on CPU
+
+
+def _use_dft_matmul(n: int) -> bool:
+    if n > _DFT_MATMUL_MAX_N:
+        return False
+    if _FORCE_DFT_MATMUL:
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+@functools.lru_cache(maxsize=8)
+def _dft_basis(n: int):
+    """Real-DFT analysis basis: cos/-sin [n, n//2+1] (numpy f32)."""
+    ang = 2.0 * np.pi * np.outer(np.arange(n), np.arange(n // 2 + 1)) / n
+    return (np.cos(ang).astype(np.float32),
+            (-np.sin(ang)).astype(np.float32))
+
+
+@functools.lru_cache(maxsize=8)
+def _idft_basis(n: int):
+    """Real-DFT synthesis basis [n//2+1, n] pair (for Re and Im parts):
+    x[t] = Σ_k w_k (Re X[k] cos(2πkt/n) - Im X[k] sin(2πkt/n)),
+    w = [1, 2, ..., 2, 1] / n (hermitian-symmetry fold)."""
+    k = np.arange(n // 2 + 1)
+    w = np.full(n // 2 + 1, 2.0 / n)
+    w[0] = 1.0 / n
+    w[-1] = 1.0 / n
+    ang = 2.0 * np.pi * np.outer(k, np.arange(n)) / n
+    return ((w[:, None] * np.cos(ang)).astype(np.float32),
+            (-(w[:, None]) * np.sin(ang)).astype(np.float32))
+
+
+def _dft_dot(a: Array, b: np.ndarray) -> Array:
+    return jax.lax.dot_general(
+        a, jnp.asarray(b), (((a.ndim - 1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGH)
+
+
+def framed_rfft(frames: Array) -> tuple[Array, Array]:
+    """(re, im) of rfft over the last axis; MXU matmul-DFT on TPU for
+    frame-sized n, jnp.fft elsewhere. frames: [..., n] f32."""
+    n = frames.shape[-1]
+    if _use_dft_matmul(n):
+        c, s = _dft_basis(n)
+        return _dft_dot(frames, c), _dft_dot(frames, s)
+    spec = jnp.fft.rfft(frames, axis=-1)
+    return spec.real, spec.imag
+
+
+def framed_irfft(re: Array, im: Array, n: int) -> Array:
+    """Inverse of framed_rfft: [..., n//2+1] (re, im) -> [..., n]."""
+    if _use_dft_matmul(n):
+        ci, si = _idft_basis(n)
+        return _dft_dot(re, ci) + _dft_dot(im, si)
+    return jnp.fft.irfft(re + 1j * im, n=n, axis=-1)
+
+
 def stft_mag(wave: Array, *, n_fft: int = 2048, hop: int = 512,
              center: bool = True) -> Array:
     """Magnitude STFT, librosa semantics (hann window, reflect-pad center).
@@ -76,7 +151,8 @@ def stft_mag(wave: Array, *, n_fft: int = 2048, hop: int = 512,
                        mode="reflect")
     frames = frame_signal(wave, n_fft, hop)
     win = jnp.asarray(hann_window(n_fft))
-    return jnp.abs(jnp.fft.rfft(frames * win, axis=-1))
+    re, im = framed_rfft(frames * win)
+    return jnp.sqrt(re * re + im * im)
 
 
 def stft_frame_mask(mask: Array, *, n_fft: int = 2048, hop: int = 512,
@@ -265,7 +341,8 @@ def welch_psd(wave: Array, mask: Array, *, sample_rate: int,
     fmask = full_frame_mask(mask, nperseg, hop, frames.shape[-2])
     frames = frames - frames.mean(axis=-1, keepdims=True)        # detrend
     win = jnp.asarray(hann_window(nperseg))
-    spec = jnp.abs(jnp.fft.rfft(frames * win, axis=-1)) ** 2     # [B, F, bins]
+    re, im = framed_rfft(frames * win)
+    spec = re * re + im * im                                     # [B, F, bins]
     scale = 1.0 / (sample_rate * float((hann_window(nperseg) ** 2).sum()))
     spec = spec * scale
     spec = spec.at[..., 1:-1].mul(2.0)

@@ -23,7 +23,7 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-BATCH = 64
+BATCH = 128
 SECONDS = 4.0
 WARMUP = 3
 ITERS = 10

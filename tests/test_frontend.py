@@ -533,3 +533,40 @@ def test_rms_frames_no_cancellation_on_long_clips():
     w = np.pad(wave, (pad, pad))
     direct = np.sqrt((w[100 * 160:100 * 160 + 400] ** 2).mean())
     np.testing.assert_allclose(got[100], direct, rtol=2e-4)
+
+
+def test_framed_dft_matmul_matches_fft(monkeypatch):
+    """The MXU matmul-DFT path (used on TPU for frame-sized transforms)
+    must match jnp.fft within f32 accumulation error, forward and inverse,
+    at both production frame sizes."""
+    monkeypatch.setattr(sp, "_FORCE_DFT_MATMUL", True)
+    rng = np.random.default_rng(3)
+    for n in (1024, 2048):
+        frames = jnp.asarray(rng.standard_normal((2, 7, n)).astype(np.float32))
+        re, im = sp.framed_rfft(frames)
+        want = np.fft.rfft(np.asarray(frames), axis=-1)
+        scale = np.abs(want).max()
+        np.testing.assert_allclose(np.asarray(re), want.real,
+                                   atol=2e-5 * scale)
+        np.testing.assert_allclose(np.asarray(im), want.imag,
+                                   atol=2e-5 * scale)
+        rec = sp.framed_irfft(re, im, n)
+        np.testing.assert_allclose(np.asarray(rec), np.asarray(frames),
+                                   atol=1e-4)
+
+
+def test_welch_and_denoise_on_dft_matmul_path(monkeypatch):
+    """welch_psd and the spectral-gate denoiser give the same results on
+    the matmul-DFT path as on the jnp.fft path (what CPU tests normally
+    exercise vs what TPU serving runs)."""
+    wave, mask = padded_batch([speech_like(SR), speech_like(SR // 2, 5)],
+                              T_pad=SR)
+    _, psd_fft = sp.welch_psd(wave, mask, sample_rate=SR, nperseg=2048)
+    den_fft = cond.spectral_gate_denoise(wave, mask)
+    monkeypatch.setattr(sp, "_FORCE_DFT_MATMUL", True)
+    _, psd_mm = sp.welch_psd(wave, mask, sample_rate=SR, nperseg=2048)
+    den_mm = cond.spectral_gate_denoise(wave, mask)
+    np.testing.assert_allclose(np.asarray(psd_mm), np.asarray(psd_fft),
+                               rtol=1e-4, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(den_mm), np.asarray(den_fft),
+                               atol=1e-4)
