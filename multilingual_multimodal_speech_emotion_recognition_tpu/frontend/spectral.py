@@ -109,7 +109,10 @@ def _idft_basis(n: int):
     k = np.arange(n // 2 + 1)
     w = np.full(n // 2 + 1, 2.0 / n)
     w[0] = 1.0 / n
-    w[-1] = 1.0 / n
+    if n % 2 == 0:
+        # the Nyquist bin is unpaired only for even n; for odd n the last
+        # rfft bin is conjugate-paired and keeps weight 2/n
+        w[-1] = 1.0 / n
     ang = 2.0 * np.pi * np.outer(k, np.arange(n)) / n
     return ((w[:, None] * np.cos(ang)).astype(np.float32),
             (-(w[:, None]) * np.sin(ang)).astype(np.float32))

@@ -474,7 +474,12 @@ def conv_tail_pallas(convs: list, x1: Array, *, has_ln: bool,
     n_tiles = _cdiv(T7, f7)
     in_frames = f7 * _TAIL_STRIDE_PRODUCT
     T1p = n_tiles * in_frames + _TAIL_HALO
-    x1 = jnp.pad(x1, ((0, 0), (0, T1p - T1), (0, 0)))
+    # Conv floor-arithmetic allows T1 up to 64*T7 + 78, so T1 can EXCEED
+    # T1p (when T7 divides f7 exactly and 33 <= T1 - 64*T7 <= 78). Those
+    # trailing frames are never consumed by a valid output (the last one
+    # needs x1 rows < 64*T7 + 16 <= T1p), so pad-then-slice handles both
+    # directions.
+    x1 = jnp.pad(x1, ((0, 0), (0, max(0, T1p - T1)), (0, 0)))[:, :T1p]
     xp = x1.reshape(B, T1p // 2, 2 * C)                    # free pair-fold
 
     w01 = jnp.stack([

@@ -78,16 +78,16 @@ def main():
         ms_lax = timed(fe_lax, params, wave, mask)
         ms_fused = timed(fe_fused, params, wave, mask)
 
-        # value check on device (bf16 tolerance)
-        a = np.asarray(jax.jit(
-            lambda p, w, m: w2v.feature_encoder(
-                p, cfg, w, m, allow_fused=True)[0])(params, wave, mask),
-            np.float32)
-        b = np.asarray(jax.jit(
-            lambda p, w, m: w2v.feature_encoder(
-                p, cfg, w, m, allow_fused=False)[0])(params, wave, mask),
-            np.float32)
-        err = float(np.max(np.abs(a - b)))
+        # value check reduced ON DEVICE (fetching [B,T7,C] twice over the
+        # ~3 MB/s relay link would add ~30 s per batch size)
+        @jax.jit
+        def max_abs_dev(p, w, m):
+            a, _ = w2v.feature_encoder(p, cfg, w, m, allow_fused=True)
+            b, _ = w2v.feature_encoder(p, cfg, w, m, allow_fused=False)
+            return jnp.max(jnp.abs(a.astype(jnp.float32)
+                                   - b.astype(jnp.float32)))
+
+        err = float(np.asarray(max_abs_dev(params, wave, mask)))
 
         # tail FLOPs (layers 1-6) for MXU-efficiency context
         t1 = (T - 10) // 5 + 1
@@ -97,7 +97,7 @@ def main():
             t = (t - k) // 2 + 1
             flops += t * k * 512 * 512 * 2
         print(f"B={B}: lax={ms_lax:.2f} ms  fused={ms_fused:.2f} ms  "
-              f"speedup={ms_lax / ms_fused:.2f}x  max_rel_err={err:.4f}  "
+              f"speedup={ms_lax / ms_fused:.2f}x  max_abs_err={err:.4f}  "
               f"tail={B * flops / 1e9:.1f} GFLOP -> "
               f"{B * flops / (ms_fused * 1e-3) / 1e12:.1f} TFLOP/s fused "
               f"(whole-extractor time incl. layer 0)")

@@ -203,3 +203,19 @@ def test_feature_encoder_fused_path_matches(monkeypatch):
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want, np.float32),
                                rtol=4e-2, atol=4e-2)
+
+
+def test_conv_tail_t1_exceeding_padded_length():
+    """T1 can exceed n_tiles*64*f7 + HALO when T7 divides f7 exactly and
+    the conv floor-arithmetic leaves 33..78 surplus frames (e.g. a 3.85 s
+    clip) — those trailing frames feed no valid output and must be
+    dropped, not crash jnp.pad with a negative width."""
+    C = 128
+    convs = _make_tail_convs(jax.random.key(9), C, has_ln=False,
+                             has_bias=False)
+    # T1=1057 -> T7=16 (== f7), T1p=1056 < T1: the regression case
+    x1 = jax.random.normal(jax.random.key(10), (1, 1057, C))
+    want = np.asarray(_tail_reference(convs, x1, has_ln=False))
+    got = np.asarray(pk.conv_tail_pallas(convs, x1, has_ln=False, f7=16))
+    assert got.shape == want.shape == (1, 16, C)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
