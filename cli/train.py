@@ -88,10 +88,17 @@ def main():
     p.add_argument("--two_phase", action="store_true",
                    help="phase 1 frozen encoders, phase 2 full fine-tune "
                         "(working replacement for src/train_two_phase.py)")
+    p.add_argument("--prng_impl", default="rbg",
+                   choices=["rbg", "threefry2x32", "unsafe_rbg"],
+                   help="jax.random backend; rbg (XLA RngBitGenerator) cuts "
+                        "the dropout-mask cost of the training forward "
+                        "(121 -> 102 ms @ B=128/4 s on v5e). Pass "
+                        "threefry2x32 for bit-reproducible random streams")
     args = p.parse_args()
 
     from multilingual_multimodal_speech_emotion_recognition_tpu.utils import runtime
-    runtime.configure(platform=args.platform)  # + persistent XLA compile cache
+    runtime.configure(platform=args.platform,  # + persistent compile cache
+                      prng_impl=args.prng_impl)
 
     from multilingual_multimodal_speech_emotion_recognition_tpu.config import (
         Config, DataConfig, MeshConfig, ModelConfig, TrainConfig)

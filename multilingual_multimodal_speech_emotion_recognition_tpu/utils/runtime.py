@@ -48,13 +48,24 @@ def enable_compilation_cache(cache_dir: Optional[str] = None,
 
 def configure(platform: Optional[str] = None,
               cache_dir: Optional[str] = None,
-              num_cpu_devices: Optional[int] = None) -> None:
+              num_cpu_devices: Optional[int] = None,
+              prng_impl: Optional[str] = None) -> None:
     """One-call runtime setup for CLI mains. Must run before any JAX
-    computation (platform flips are ignored after backend init)."""
+    computation (platform flips are ignored after backend init).
+
+    prng_impl: "rbg" routes jax.random through XLA's RngBitGenerator —
+    threefry mask generation is VPU-expensive on TPU, and the training
+    forward (backbone dropout active, like the reference's train()-mode
+    modules) measured 121 -> 102 ms @ B=128/4 s with rbg. Random STREAMS
+    differ from threefry (dropout masks, augmentation draws — not model
+    math), and rbg bit-stability is not guaranteed across XLA versions,
+    so bit-reproducible runs should pass "threefry2x32"."""
     import jax
 
     if platform:
         jax.config.update("jax_platforms", platform)
     if num_cpu_devices:
         jax.config.update("jax_num_cpu_devices", int(num_cpu_devices))
+    if prng_impl:
+        jax.config.update("jax_default_prng_impl", prng_impl)
     enable_compilation_cache(cache_dir)

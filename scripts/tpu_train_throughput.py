@@ -1,9 +1,9 @@
 #!/usr/bin/env python3
 """Train-step throughput vs batch size on the real TPU (flagship model).
 
-The PARITY table quotes the frozen-backbone train step at B=16 (37 ms,
-2.3 ms/utt); larger batches amortize launch overhead and fill the MXU
-better. Times the jitted train step at B in {16, 32, 64} for both input
+Round-3 frozen-backbone train step at B=16: 28.3 ms with the rbg PRNG
+(docs/PERFORMANCE.md); larger batches amortize launch overhead and fill
+the MXU better. Times the jitted train step at B in {16, 32, 64} for both input
 modes — precomputed front-end feats (the offline-features pipeline) and
 in-step device DSP (the default pipeline) — and with backbones unfrozen
 at B=16 for the fine-tuning configuration.
@@ -31,6 +31,8 @@ ITERS = 5
 
 def main():
     import jax
+    # the cli/train.py default: rbg PRNG for the dropout masks
+    jax.config.update("jax_default_prng_impl", "rbg")
     import jax.numpy as jnp
 
     from multilingual_multimodal_speech_emotion_recognition_tpu.config import (
