@@ -40,6 +40,16 @@ def main():
     p.add_argument("--platform", default=None,
                    help="jax platform override (e.g. cpu) — must match "
                         "the platform the artifact was exported on")
+    p.add_argument("--cascade_teacher", default=None,
+                   help="teacher artifact dir: --artifact becomes the "
+                        "(distilled) student tier and low-confidence "
+                        "requests escalate to the teacher (CascadeServer)")
+    p.add_argument("--confidence_threshold", type=float, default=0.8,
+                   help="cascade: escalate when student max-prob is below")
+    p.add_argument("--energy_threshold", type=float, default=None,
+                   help="cascade: also escalate when the raw-logit energy "
+                        "OOD score is above this (fit on cli/eval.py "
+                        "--predictions_out output; same raw-energy scale)")
     args = p.parse_args()
 
     from multilingual_multimodal_speech_emotion_recognition_tpu.utils import runtime
@@ -53,7 +63,10 @@ def main():
                   max_wait_ms=args.max_wait_ms,
                   preload=not args.no_preload,
                   tokenizer=get_tokenizer(args.tokenizer,
-                                          vocab_size=args.vocab_size))
+                                          vocab_size=args.vocab_size),
+                  cascade_teacher_dir=args.cascade_teacher,
+                  confidence_threshold=args.confidence_threshold,
+                  energy_threshold=args.energy_threshold)
 
 
 if __name__ == "__main__":

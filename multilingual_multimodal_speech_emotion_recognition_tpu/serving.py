@@ -404,6 +404,87 @@ class BatchingServer:
         }
 
 
+# ------------------------------------------------------------ cascade tier
+
+class CascadeServer:
+    """Two-tier serving: the small (distilled) STUDENT answers every
+    request; rows the student is unsure about escalate to the TEACHER.
+
+    The production payoff of `cli/distill.py`: at a typical ~10-20%
+    escalation rate the average device cost per request approaches the
+    student's, while hard/out-of-distribution clips still get flagship
+    answers. Escalation happens in the caller's thread, so concurrent
+    escalations micro-batch on the teacher exactly like first-tier traffic
+    — both tiers keep their fixed-shape compiled programs (no dynamic
+    shapes anywhere, the TPU constraint that rules out per-row routing
+    inside one batch).
+
+    Escalates when student confidence (calibrated max-prob) is below
+    `confidence_threshold`, or — with `energy_threshold` set — when the
+    raw-logit energy OOD score is ABOVE it (less negative = more
+    OOD-like; thresholds fitted on `cli/eval.py --predictions_out` output
+    transfer unchanged, since both surfaces report raw-logit energy).
+
+    Duck-types the BatchingServer protocol (`submit`/`close`/
+    `stats_summary`/`router`), so `make_http_server`/`serve` run it
+    unmodified."""
+
+    def __init__(self, student: BatchingServer, teacher: BatchingServer, *,
+                 confidence_threshold: float = 0.8,
+                 energy_threshold: Optional[float] = None):
+        self.student = student
+        self.teacher = teacher
+        self.confidence_threshold = float(confidence_threshold)
+        self.energy_threshold = (None if energy_threshold is None
+                                 else float(energy_threshold))
+        self.router = student.router       # decode SR + /healthz spec
+        self._started = time.time()
+        self.stats = collections.Counter()
+        self._stats_lock = threading.Lock()
+
+    def _should_escalate(self, res: Dict) -> bool:
+        if res["confidence"] < self.confidence_threshold:
+            return True
+        return (self.energy_threshold is not None
+                and res["energy"] > self.energy_threshold)
+
+    def submit(self, audio: np.ndarray, text: str = "",
+               timeout: float = 60.0) -> Dict:
+        res = self.student.submit(audio, text, timeout)
+        with self._stats_lock:
+            self.stats["requests"] += 1
+        if self._should_escalate(res):
+            out = self.teacher.submit(audio, text, timeout)
+            out = dict(out)
+            out["escalated"] = True
+            out["student_confidence"] = res["confidence"]
+            with self._stats_lock:
+                self.stats["escalations"] += 1
+            return out
+        res = dict(res)
+        res["escalated"] = False
+        return res
+
+    def close(self):
+        self.student.close()
+        self.teacher.close()
+
+    def stats_summary(self) -> Dict:
+        with self._stats_lock:
+            n = int(self.stats["requests"])
+            esc = int(self.stats["escalations"])
+        return {
+            "requests": n,
+            "escalations": esc,
+            "escalation_rate": round(esc / n, 4) if n else None,
+            "confidence_threshold": self.confidence_threshold,
+            "energy_threshold": self.energy_threshold,
+            "student": self.student.stats_summary(),
+            "teacher": self.teacher.stats_summary(),
+            "uptime_s": round(time.time() - self._started, 1),
+        }
+
+
 # ---------------------------------------------------------------- HTTP API
 
 def _decode_audio(payload: Dict, target_sr: int) -> np.ndarray:
@@ -508,8 +589,14 @@ def make_http_server(core: BatchingServer, host: str = "127.0.0.1",
 
 def serve(art_dir: str, *, host: str = "127.0.0.1", port: int = 8080,
           max_wait_ms: float = 15.0, preload: bool = True,
-          tokenizer=None, drain_timeout: float = 30.0) -> None:
+          tokenizer=None, drain_timeout: float = 30.0,
+          cascade_teacher_dir: Optional[str] = None,
+          confidence_threshold: float = 0.8,
+          energy_threshold: Optional[float] = None) -> None:
     """Blocking entry point used by cli/serve.py.
+
+    With `cascade_teacher_dir` set, `art_dir` is the STUDENT artifact and
+    low-confidence requests escalate to the teacher (CascadeServer).
 
     Graceful drain on SIGTERM (the signal schedulers/orchestrators send
     before reclaiming the pod): stop accepting connections, wait (bounded
@@ -522,6 +609,13 @@ def serve(art_dir: str, *, host: str = "127.0.0.1", port: int = 8080,
     router = ArtifactRouter(art_dir, preload=preload)
     core = BatchingServer(router, tokenizer=tokenizer,
                           max_wait_ms=max_wait_ms)
+    if cascade_teacher_dir:
+        t_router = ArtifactRouter(cascade_teacher_dir, preload=preload)
+        teacher = BatchingServer(t_router, tokenizer=tokenizer,
+                                 max_wait_ms=max_wait_ms)
+        core = CascadeServer(core, teacher,
+                             confidence_threshold=confidence_threshold,
+                             energy_threshold=energy_threshold)
     httpd = make_http_server(core, host, port)
 
     def _term(signum, frame):

@@ -448,3 +448,116 @@ def test_bad_calibration_temperature_refused(bucketed_artifact):
                 serving.ArtifactRouter(art)
         finally:
             (art / "calibration.json").unlink()
+
+
+# ----------------------------------------------------------------- cascade
+
+@pytest.fixture(scope="module")
+def teacher_artifact(tmp_path_factory):
+    """A second ('teacher') artifact from a different seed so cascade
+    answers are distinguishable from the student's."""
+    cfg = tiny_config()
+    params = mdl.init_model(jax.random.key(99), cfg)
+    out = tmp_path_factory.mktemp("serve_teacher") / "export"
+    ex.export_buckets(params, cfg, out, buckets=[(0.2, 2), (0.4, 2)],
+                      text_tokens=8, with_dsp=True)
+    return out, cfg, params
+
+
+def test_cascade_escalates_on_low_confidence(bucketed_artifact,
+                                             teacher_artifact):
+    """CascadeServer: confident requests are answered by the student tier;
+    with an impossible confidence bar every request escalates and the
+    answer equals the teacher tier's own."""
+    s_art, _, _ = bucketed_artifact
+    t_art, _, _ = teacher_artifact
+    wave = RNG.standard_normal(2500).astype(np.float32) * 0.1
+    text = "cascade check"
+
+    teacher_direct = _core(t_art)
+    try:
+        want = teacher_direct.submit(wave, text, timeout=300)
+    finally:
+        teacher_direct.close()
+
+    # threshold 0: nothing escalates — the student answers
+    cas = serving.CascadeServer(_core(s_art), _core(t_art),
+                                confidence_threshold=0.0)
+    try:
+        res = cas.submit(wave, text, timeout=300)
+        assert res["escalated"] is False
+        assert cas.stats_summary()["escalation_rate"] == 0.0
+        student_pred = res["probabilities"]
+    finally:
+        cas.close()
+
+    # threshold 1.01: everything escalates — the teacher answers
+    cas = serving.CascadeServer(_core(s_art), _core(t_art),
+                                confidence_threshold=1.01)
+    try:
+        res = cas.submit(wave, text, timeout=300)
+        assert res["escalated"] is True
+        assert "student_confidence" in res
+        assert res["probabilities"] == want["probabilities"]
+        assert res["probabilities"] != student_pred
+        st = cas.stats_summary()
+        assert st["escalations"] == st["requests"] == 1
+        assert st["student"]["requests"] == 1
+        assert st["teacher"]["requests"] == 1
+    finally:
+        cas.close()
+
+
+def test_cascade_energy_threshold(bucketed_artifact, teacher_artifact):
+    """The energy gate escalates OOD-looking clips even when the student
+    is (over)confident: with the bar just below/above the observed energy
+    the same request flips between tiers."""
+    s_art, _, _ = bucketed_artifact
+    t_art, _, _ = teacher_artifact
+    wave = RNG.standard_normal(2500).astype(np.float32) * 0.1
+
+    probe = _core(s_art)
+    try:
+        energy = probe.submit(wave, "x", timeout=300)["energy"]
+    finally:
+        probe.close()
+
+    for bar, want_escalated in ((energy + 1.0, False), (energy - 1.0, True)):
+        cas = serving.CascadeServer(_core(s_art), _core(t_art),
+                                    confidence_threshold=0.0,
+                                    energy_threshold=bar)
+        try:
+            res = cas.submit(wave, "x", timeout=300)
+            assert res["escalated"] is want_escalated, bar
+        finally:
+            cas.close()
+
+
+def test_cascade_serves_http(bucketed_artifact, teacher_artifact):
+    """CascadeServer duck-types the core protocol: the stock HTTP server
+    runs it unmodified and /stats reports both tiers."""
+    import http.client
+
+    s_art, _, _ = bucketed_artifact
+    t_art, _, _ = teacher_artifact
+    cas = serving.CascadeServer(_core(s_art), _core(t_art),
+                                confidence_threshold=1.01)
+    httpd = serving.make_http_server(cas, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    th = threading.Thread(target=httpd.serve_forever, daemon=True)
+    th.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        wave = (RNG.standard_normal(2000) * 0.1).astype(np.float32)
+        conn.request("POST", "/predict", json.dumps(
+            {"audio": wave.tolist(), "sample_rate": 16000, "text": "hi"}))
+        res = json.loads(conn.getresponse().read())
+        assert res["escalated"] is True
+        conn.request("GET", "/stats")
+        st = json.loads(conn.getresponse().read())
+        assert st["escalations"] == 1
+        assert st["teacher"]["requests"] == 1
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        cas.close()
