@@ -3,7 +3,9 @@
 
 The student checkpoint this writes is an ordinary native checkpoint (its
 config embedded), so `cli/eval.py`, `cli/export.py`, the serving daemon,
-and `--int8` all work on it unchanged. The reference has no
+and `--int8` all work on it unchanged. The 'small' preset is 119M params
+vs the flagship's 397M (96M of it the shared 250k-vocab embedding table
+— per-clip compute shrinks ~10x). The reference has no
 small-model/deployment path at all — this surface is TPU-framework-only.
 
 Example:

@@ -65,8 +65,9 @@ def student_model_config(teacher: ModelConfig,
                          preset: str = "small") -> ModelConfig:
     """A scaled-down ModelConfig that keeps every interface the teacher's
     batches need (tokenizer vocab, front-end flags, label count) while
-    shrinking the compute. 'small' ≈ 23M params vs the flagship's ~380M;
-    'tiny' is for tests/edge serving."""
+    shrinking the compute. 'small' is 119M params vs the flagship's 397M
+    — 96M of that is the shared 250k-vocab embedding table, so the actual
+    per-clip COMPUTE shrinks ~10x; 'tiny' is for tests/edge serving."""
     if preset == "small":
         audio = dataclasses.replace(
             teacher.audio, conv_dim=(256,) * 7, hidden_size=384,
