@@ -94,11 +94,30 @@ def main():
                         "the dropout-mask cost of the training forward "
                         "(121 -> 102 ms @ B=128/4 s on v5e). Pass "
                         "threefry2x32 for bit-reproducible random streams")
+    p.add_argument("--coordinator_address", default=None,
+                   help="multi-host (pod) jobs: host:port of process 0 for "
+                        "jax.distributed; with no flags/env hints the "
+                        "runtime stays single-process "
+                        "(parallel/multihost.py:initialize)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     args = p.parse_args()
 
     from multilingual_multimodal_speech_emotion_recognition_tpu.utils import runtime
     runtime.configure(platform=args.platform,  # + persistent compile cache
                       prng_impl=args.prng_impl)
+
+    # Multi-host pods: must run before the first computation initializes
+    # the backend. No-op unless pod env hints or explicit flags are present.
+    from multilingual_multimodal_speech_emotion_recognition_tpu.parallel import (
+        multihost)
+    if multihost.initialize(coordinator_address=args.coordinator_address,
+                            num_processes=args.num_processes,
+                            process_id=args.process_id):
+        import jax
+        print(f"multi-host: process {jax.process_index()}/"
+              f"{jax.process_count()}, {jax.local_device_count()} local / "
+              f"{jax.device_count()} global devices")
 
     from multilingual_multimodal_speech_emotion_recognition_tpu.config import (
         Config, DataConfig, MeshConfig, ModelConfig, TrainConfig)

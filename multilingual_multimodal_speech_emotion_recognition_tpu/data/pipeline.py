@@ -106,6 +106,9 @@ class BucketedLoader:
         self.seed = seed
         self.drop_remainder = drop_remainder
         self.num_workers = num_workers
+        # rows each _assemble call materializes; HostShardedLoader
+        # (parallel/multihost.py) narrows this to its per-process slice
+        self.batch_rows = batch_size
         cfg = dataset.cfg
         self.bucket_samples = [bucketing.seconds_to_samples(b, cfg.sample_rate)
                                for b in cfg.audio_buckets]
@@ -128,7 +131,13 @@ class BucketedLoader:
                       else -(-c // self.batch_size))
         return total
 
-    def epoch(self, epoch_idx: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+    def _plan(self, epoch_idx: int) -> List[tuple]:
+        """Deterministic epoch plan: [(bucket_idx, [dataset indices])].
+
+        Depends only on (manifest order, seed, epoch_idx), so every process
+        of a multi-host job computes the IDENTICAL plan — the property
+        HostShardedLoader (parallel/multihost.py) relies on to slice each
+        global batch into per-process rows without any coordination."""
         order = np.arange(len(self.ds))
         if self.shuffle:
             rng = np.random.default_rng(self.seed + epoch_idx)
@@ -149,7 +158,12 @@ class BucketedLoader:
         if self.shuffle:
             rng = np.random.default_rng(self.seed * 7919 + epoch_idx)
             rng.shuffle(batch_plans)
+        return batch_plans
 
+    def epoch(self, epoch_idx: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        return self._iter_plans(self._plan(epoch_idx))
+
+    def _iter_plans(self, batch_plans: List[tuple]) -> Iterator[Dict[str, np.ndarray]]:
         from . import native
         use_native = native.available()
 
@@ -211,7 +225,7 @@ class BucketedLoader:
     def _assemble(self, bucket_idx: int, loaded: list,
                   idxs: Optional[List[int]] = None) -> dict:
         T = self.bucket_samples[bucket_idx]
-        B = self.batch_size
+        B = self.batch_rows
 
         audio = np.zeros((B, T), np.float32)
         audio_mask = np.zeros((B, T), np.float32)

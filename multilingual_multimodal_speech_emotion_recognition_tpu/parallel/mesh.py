@@ -188,8 +188,11 @@ def shard_batch(batch: dict, mesh: Mesh, *, compact_audio: bool = True) -> dict:
     int16 samples + int32 lengths (~25% of the bytes) and are reconstructed
     on device, so every consumer still sees the standard f32 keys. Matters
     on any host->device link (PCIe included), and 4x so on slow ones."""
+    from . import multihost  # function-level: multihost imports data.pipeline
     s = NamedSharding(mesh, P(DATA_AXIS))
-    put = lambda x: jax.device_put(jnp.asarray(x), s)
+    # single-process this is exactly jax.device_put; on a pod each process
+    # contributes its local rows to the global array (multihost.put_sharded)
+    put = lambda x: multihost.put_sharded(x, s)
     compact = None
     if compact_audio and isinstance(batch.get("audio"), np.ndarray) \
             and isinstance(batch.get("audio_mask"), np.ndarray):

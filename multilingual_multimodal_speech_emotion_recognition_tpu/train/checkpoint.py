@@ -111,7 +111,20 @@ def save_checkpoint(path: str | Path, *, params, opt_state=None, step: int = 0,
     `frozen_store` sibling directory and each checkpoint stores only the
     trainable params + a `frozen_ref.json`; restore_checkpoint merges
     transparently, so readers are unchanged. Per-epoch checkpoint IO drops
-    from ~1.5 GB to ~30 MB at flagship scale."""
+    from ~1.5 GB to ~30 MB at flagship scale.
+
+    Multi-host (pod) jobs: EVERY process must call this — the leading
+    host_replicated() is a collective that all-gathers FSDP/TP-sharded
+    leaves back to a fetchable layout — but only the coordinator writes
+    files (the rest return immediately after the collective). On resume,
+    processes read the coordinator's files from the shared filesystem."""
+    if jax.process_count() > 1:
+        from ..parallel import multihost as mh
+        params = mh.host_replicated(params)
+        if opt_state is not None:
+            opt_state = mh.host_replicated(opt_state)
+        if not mh.is_coordinator():
+            return Path(path)
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
     meta = {"step": int(step), "epoch": int(epoch), "f1": float(f1)}

@@ -31,10 +31,20 @@ from ..models import model as mdl
 from ..data.prefetch import device_prefetch
 from ..ops import openmax as om
 from ..parallel import mesh as mesh_lib
+from ..parallel import multihost as mh
 from ..utils.metrics import MetricsWriter, weighted_f1
 from . import checkpoint as ckpt_lib
 from . import optimizer as opt_lib
 from . import train_step as ts
+
+
+class _NullWriter:
+    """Metrics sink for non-coordinator pod processes (the coordinator owns
+    the JSONL stream; everyone still builds the same record dicts so the
+    host-sync cadence stays lockstep across processes)."""
+
+    def write(self, *_a, **_k):
+        pass
 
 
 def evaluate(params, cfg: Config, loader: BucketedLoader, mesh,
@@ -48,19 +58,30 @@ def evaluate(params, cfg: Config, loader: BucketedLoader, mesh,
             {k: v for k, v in b.items()
              if k not in pipeline_mod.EVAL_HOST_KEYS}, mesh)
 
+    # Pod jobs: device outputs are GLOBAL arrays but the host batch holds
+    # only this process's rows — pair them via local_rows, then allgather
+    # at the end so every process computes identical metrics/Weibull fits.
+    pc = jax.process_count()
+    fetch = (mh.local_rows if pc > 1 else np.asarray)
     for dev_batch, batch in device_prefetch(loader.epoch(0), put):
         logits, feats, _ = step(params, dev_batch)
         keep = batch["example_mask"] > 0
-        logits_all.append(np.asarray(logits)[keep])
+        logits_all.append(fetch(logits)[keep])
         labels_all.append(batch["labels"][keep])
         if collect_features:
-            feats_all.append(np.asarray(feats)[keep])
+            feats_all.append(fetch(feats)[keep])
     logits = np.concatenate(logits_all) if logits_all else np.zeros((0, cfg.model.num_labels))
     labels = np.concatenate(labels_all) if labels_all else np.zeros((0,), np.int32)
+    if pc > 1:
+        logits = mh.allgather_rows(logits)
+        labels = mh.allgather_rows(labels)
     out = {"logits": logits, "labels": labels,
            "preds": logits.argmax(-1) if len(logits) else np.zeros((0,), np.int64)}
     if collect_features:
-        out["features"] = np.concatenate(feats_all) if feats_all else None
+        f = np.concatenate(feats_all) if feats_all else None
+        if pc > 1 and f is not None:
+            f = mh.allgather_rows(f)
+        out["features"] = f
     return out
 
 
@@ -108,15 +129,23 @@ def train(cfg: Config, *, train_manifest: str, val_manifest: str,
     tcfg = cfg.train
     tok = tokenizer or get_tokenizer(vocab_size=cfg.model.text.vocab_size)
     mesh = mesh or mesh_lib.mesh_from_config(cfg.mesh)
-    writer = MetricsWriter(log_path or str(Path(tcfg.save_dir) / "metrics.jsonl"))
+    # Pod jobs: the coordinator owns every file artifact and all prints;
+    # tcfg.batch_size is the GLOBAL batch, each process decoding 1/P of it.
+    pod = jax.process_count() > 1
+    coord = mh.is_coordinator()
+    progress = progress and coord
+    writer = MetricsWriter(
+        log_path or str(Path(tcfg.save_dir) / "metrics.jsonl")) if coord \
+        else _NullWriter()
+    Loader = mh.HostShardedLoader if pod else BucketedLoader
 
     train_ds = SERDataset(train_manifest, cfg.data)
     val_ds = SERDataset(val_manifest, cfg.data)
-    train_loader = BucketedLoader(train_ds, batch_size=tcfg.batch_size,
-                                  tokenizer=tok, shuffle=True, seed=tcfg.seed,
-                                  drop_remainder=True)
-    val_loader = BucketedLoader(val_ds, batch_size=tcfg.batch_size,
-                                tokenizer=tok, shuffle=False, seed=0)
+    train_loader = Loader(train_ds, batch_size=tcfg.batch_size,
+                          tokenizer=tok, shuffle=True, seed=tcfg.seed,
+                          drop_remainder=True)
+    val_loader = Loader(val_ds, batch_size=tcfg.batch_size,
+                        tokenizer=tok, shuffle=False, seed=0)
 
     key = jax.random.key(tcfg.seed)
     k_init, key = jax.random.split(key)
