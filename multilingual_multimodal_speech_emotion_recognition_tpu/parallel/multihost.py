@@ -85,10 +85,25 @@ def initialize(coordinator_address: Optional[str] = None,
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
-    except RuntimeError:
-        # already initialized (idempotent re-entry, e.g. two-phase training
-        # calling train() twice)
-        pass
+    except RuntimeError as e:
+        # Swallow ONLY the idempotent re-entry case (two-phase training
+        # calling train() twice). Every other RuntimeError — including
+        # XlaRuntimeError subclasses like "coordinator unreachable",
+        # "barrier timeout" or "must be called before backends are
+        # initialized" — must NOT silently demote an explicitly-requested
+        # pod job to single-process: the process would self-elect
+        # coordinator (process_index()==0) and write checkpoints/metrics
+        # to the shared save_dir while the rest of the pod hangs.
+        msg = str(e).lower()
+        if not ("already" in msg or "only be called once" in msg
+                or "only once" in msg):
+            if explicit:
+                raise
+            # environment merely hinted at a pod: degrade with a warning
+            import warnings
+            warnings.warn(f"multi-host init failed ({e}); "
+                          "running single-process")
+            return False
     except ValueError as e:
         if explicit:
             raise
@@ -131,16 +146,65 @@ def local_rows(a) -> np.ndarray:
 
     Fully-addressable arrays (single process, or replicated outputs) fetch
     whole. Replicated copies along non-batch mesh axes (tensor-parallel
-    replicas hold identical rows) are deduplicated by row offset.
+    replicas hold identical rows AND identical indices) are deduplicated
+    by their full index tuple. Leaves genuinely sharded along non-batch
+    axes (e.g. tensor-parallel features [B, D] sharded on 'model') are
+    reassembled from this process's column blocks; if the addressable
+    shards do not cover full rows (the missing columns live on another
+    process) this raises instead of silently returning truncated rows.
     """
     if getattr(a, "is_fully_addressable", True) or a.is_fully_replicated:
         return np.asarray(a)
-    blocks = {}
+    # group shards by batch-row offset, dedup replicas by full index
+    groups: dict = {}
     for s in a.addressable_shards:
         start = s.index[0].start or 0
-        if start not in blocks:
-            blocks[start] = np.asarray(s.data)
-    return np.concatenate([blocks[k] for k in sorted(blocks)])
+        key = tuple(
+            (sl.start or 0, dim if sl.stop is None else sl.stop)
+            for sl, dim in zip(s.index[1:], a.shape[1:])
+        )
+        groups.setdefault(start, {}).setdefault(key, s.data)
+    row_elems = int(np.prod(a.shape[1:], dtype=np.int64)) if a.ndim > 1 else 1
+    out = []
+    for start in sorted(groups):
+        blocks = groups[start]
+        first = np.asarray(next(iter(blocks.values())))
+        if len(blocks) == 1 and all(
+            lo == 0 and hi == dim
+            for (lo, hi), dim in zip(next(iter(blocks)), a.shape[1:])
+        ):
+            out.append(first)
+            continue
+        # reassemble column blocks into full rows
+        buf = np.zeros((first.shape[0],) + tuple(a.shape[1:]), dtype=first.dtype)
+        covered = 0
+        for key, data in blocks.items():
+            arr = np.asarray(data)
+            buf[(slice(None),) + tuple(slice(lo, hi) for lo, hi in key)] = arr
+            covered += int(np.prod(arr.shape[1:], dtype=np.int64)) if arr.ndim > 1 else 1
+        if covered != row_elems:
+            raise ValueError(
+                "local_rows: this process's addressable shards cover only "
+                f"{covered}/{row_elems} elements per row at offset {start} — "
+                "the leaf is sharded along a non-batch axis across processes; "
+                "all-gather it (host_replicated) before calling local_rows")
+        out.append(buf)
+    return np.concatenate(out)
+
+
+def any_process(flag: bool) -> bool:
+    """Pod-wide agreement on a per-process bit: True iff ANY process set
+    it. SIGTERM preemption notices land at different step boundaries on
+    different hosts; if one process breaks out of the train loop and
+    enters checkpointing collectives while the rest still issue train-step
+    collectives, the mismatched collective order deadlocks the job exactly
+    when time is scarce — so the loop agrees on the flag BEFORE acting
+    (train/loop.py polls this each step on pods). COLLECTIVE: every
+    process must call it at the same boundary. Identity single-process."""
+    if jax.process_count() == 1:
+        return bool(flag)
+    from jax.experimental import multihost_utils as mhu
+    return bool(np.max(mhu.process_allgather(np.asarray(flag, np.int32))))
 
 
 def allgather_rows(x: np.ndarray) -> np.ndarray:

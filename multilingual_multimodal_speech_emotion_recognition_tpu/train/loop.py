@@ -235,7 +235,15 @@ def train(cfg: Config, *, train_manifest: str, val_manifest: str,
                 params, opt_state, metrics = step_fn(params, opt_state, dev_batch, k_step)
                 global_step += 1
                 n_window += 1
-                if guard.triggered:
+                if pod:
+                    # agree on the preemption bit BEFORE acting: one host
+                    # breaking into checkpoint collectives while others
+                    # still issue train-step collectives would deadlock.
+                    # One scalar allgather per step (~negligible vs a step).
+                    if mh.any_process(guard.triggered):
+                        guard.triggered = True   # propagate to all processes
+                        break
+                elif guard.triggered:
                     break
                 losses.append(metrics.loss)  # no host sync: keep device pipelined
                 if global_step % 50 == 0:

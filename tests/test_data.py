@@ -70,7 +70,12 @@ def test_crema_label_maps():
 
 
 def test_reference_manifests_parse():
-    items = man.read_manifest("/root/reference/crema_val_20.jsonl")
+    # vendored copy of the reference's shipped manifest (fixtures/ mirrors
+    # the three crema_{train_70,val_20,test_10}.jsonl files at the
+    # reference root) — no /root/reference runtime dependency
+    import pathlib
+    root = pathlib.Path(__file__).resolve().parents[1]
+    items = man.read_manifest(str(root / "fixtures" / "crema_val_20.jsonl"))
     assert len(items) == 1488
     dist = man.class_distribution(items)
     assert set(dist) <= set(range(6))

@@ -117,8 +117,10 @@ class _FakeGlobalArray:
     is_fully_addressable = False
     is_fully_replicated = False
 
-    def __init__(self, shards):
+    def __init__(self, shards, shape=(4, 3)):
         self.addressable_shards = shards
+        self.shape = shape
+        self.ndim = len(shape)
 
 
 def test_local_rows_orders_and_dedupes_shards():
@@ -131,6 +133,66 @@ def test_local_rows_orders_and_dedupes_shards():
     ])
     out = mh.local_rows(fake)
     np.testing.assert_array_equal(out, np.concatenate([r0, r1]))
+
+
+class _ColShard:
+    def __init__(self, row_start, rows, col_lo, col_hi, data):
+        self.index = (slice(row_start, row_start + rows),
+                      slice(col_lo, col_hi))
+        self.data = data
+
+
+class _ColArray(_FakeGlobalArray):
+    pass
+
+
+def test_local_rows_reassembles_column_sharded_leaves():
+    # tensor-parallel feats [4, 6] sharded 2-way on 'model': this process
+    # addresses both column halves of both row blocks -> full reassembly
+    full = RNG.standard_normal((4, 6)).astype(np.float32)
+    shards = [
+        _ColShard(0, 2, 0, 3, full[0:2, 0:3]),
+        _ColShard(0, 2, 3, 6, full[0:2, 3:6]),
+        _ColShard(2, 2, 3, 6, full[2:4, 3:6]),
+        _ColShard(2, 2, 0, 3, full[2:4, 0:3]),
+    ]
+    out = mh.local_rows(_ColArray(shards, (4, 6)))
+    np.testing.assert_array_equal(out, full)
+
+
+def test_local_rows_raises_on_truncated_column_coverage():
+    # only one column half addressable -> must raise, never silently
+    # return truncated rows (advisor round-3 finding)
+    full = RNG.standard_normal((2, 6)).astype(np.float32)
+    shards = [_ColShard(0, 2, 0, 3, full[:, 0:3])]
+    with pytest.raises(ValueError, match="non-batch axis"):
+        mh.local_rows(_ColArray(shards, (2, 6)))
+
+
+def test_initialize_reraises_runtime_failure_when_explicit(monkeypatch):
+    # explicit coordinator flags + a non-"already initialized" RuntimeError
+    # (e.g. XlaRuntimeError: coordinator unreachable) must raise, not
+    # silently demote the process to a self-elected single-host coordinator
+    def boom(**kw):
+        raise RuntimeError("DEADLINE_EXCEEDED: coordinator unreachable")
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    with pytest.raises(RuntimeError, match="unreachable"):
+        mh.initialize(coordinator_address="10.0.0.1:8476",
+                      num_processes=2, process_id=1)
+
+
+def test_initialize_swallows_double_init(monkeypatch):
+    def already(**kw):
+        raise RuntimeError("Distributed initialization can only be called once")
+    monkeypatch.setattr(jax.distributed, "initialize", already)
+    # idempotent re-entry (two-phase training) stays quiet; single process
+    assert mh.initialize(coordinator_address="10.0.0.1:8476",
+                         num_processes=1, process_id=0) is False
+
+
+def test_any_process_identity_single_process():
+    assert mh.any_process(True) is True
+    assert mh.any_process(False) is False
 
 
 def test_local_rows_and_allgather_identity_single_process():
