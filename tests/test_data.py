@@ -149,6 +149,47 @@ def test_resampled_length_formula():
     assert dsp.resampled_length(16001, 16000, 8000) == math.ceil(16001 / 2)
 
 
+def test_sinc_resample_matches_torchaudio_oracle():
+    """ops/audio_dsp.sinc_resample vs an independent direct-summation
+    re-derivation of torchaudio.functional.resample's windowed-sinc
+    polyphase kernel (tests/refenv/resample_oracle.py) — the numeric
+    parity check SURVEY.md hard-part #3 asks for, across the speed-perturb
+    rate set (preprocess.py:50-62) and ragged lengths."""
+    from refenv.resample_oracle import resample_oracle
+    rng = np.random.default_rng(5)
+    sr = 16000
+    for factor in (0.9, 0.95, 1.05, 1.1):
+        new_sr = int(sr * factor)
+        for T in (1601, 4096, 7777):
+            x = rng.standard_normal((2, T)).astype(np.float32) * 0.5
+            got = np.asarray(dsp.sinc_resample(jnp.asarray(x), sr, new_sr))
+            want = resample_oracle(x, sr, new_sr)
+            assert got.shape == want.shape, (factor, T)
+            np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5,
+                                       err_msg=f"factor={factor} T={T}")
+
+
+def test_speed_perturb_matches_double_resample_oracle():
+    """The full speed-perturb estimator (double resample, preprocess.py:
+    50-62) against the oracle's double resample — covers the composed
+    kernel the reference's augmentation and eval-time TTA actually run."""
+    from refenv.resample_oracle import speed_perturb_oracle
+    rng = np.random.default_rng(9)
+    sr, T = 16000, 6400
+    x = rng.standard_normal((1, T)).astype(np.float32) * 0.4
+    for factor in (0.9, 0.95, 1.05, 1.1):
+        got = np.asarray(dsp.speed_perturb(jnp.asarray(x), factor, sr))
+        want = speed_perturb_oracle(x, factor, sr)
+        L = min(got.shape[-1], want.shape[-1])
+        np.testing.assert_allclose(got[..., :L], want[..., :L],
+                                   rtol=3e-4, atol=3e-5,
+                                   err_msg=f"factor={factor}")
+        # speed_perturb pads/trims back to T; beyond the oracle's length
+        # the tail must be exact zeros
+        if got.shape[-1] > L:
+            assert np.all(got[..., L:] == 0.0)
+
+
 def test_add_noise_snr_hits_target():
     T = 16000
     x = (0.3 * np.sin(np.arange(T) * 0.05)).astype(np.float32)[None]
