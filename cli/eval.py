@@ -32,6 +32,17 @@ def main():
     p.add_argument("--int8", action="store_true",
                    help="int8-quantize the frozen backbones for serving "
                         "(ops/quant.py)")
+    p.add_argument("--gates_no_text", action="store_true",
+                   help="bit-faithful reference plain-eval mode: the gates "
+                        "see no text (eval.py:192 calls the audio encoder "
+                        "without texts), so LID enters as the no-text "
+                        "fallback constants (1.0, 0.0)")
+    p.add_argument("--zero_non_accept", action="store_true",
+                   help="bit-faithful reference encoder mode: zero audio "
+                        "unless the abstain decision is 'accept' "
+                        "(audio_encoder.py:74-77) — also zeroes "
+                        "'uncertain' clips, which with any non-empty text "
+                        "is every clip; default zeroes on 'reject' only")
     p.add_argument("--predictions_out", type=str, default=None,
                    help="write per-utterance predictions (path, label, "
                         "prediction, probabilities, confidence, energy) as "
@@ -67,6 +78,12 @@ def main():
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, use_asr=True),
             data=dataclasses.replace(cfg.data, emit_asr_feats=True))
+    if args.gates_no_text:
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, gates_see_text=False))
+    if args.zero_non_accept:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, zero_non_accept=True))
 
     params, _, meta = ckpt.restore_checkpoint(args.checkpoint)
     if args.int8:

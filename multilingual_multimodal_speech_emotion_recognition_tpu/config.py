@@ -39,6 +39,16 @@ class ModelConfig:
     # batch doesn't carry precomputed quality_feats/cond_feats (the
     # reference runs them inside AudioEncoder.forward, audio_encoder.py:65-88)
     frontend_dsp: bool = True
+    # Replicate the reference ENCODER's zeroing (audio_encoder.py:74-77):
+    # audio is zeroed unless the abstain decision is 'accept' — i.e. also
+    # on 'uncertain'. Since the simulated LID distribution's entropy is
+    # >= 1.5 for ANY non-empty text (quality_gates.py:276-300 vs the
+    # accept threshold at :383-386), the reference zeroes EVERY clip
+    # whenever texts reach the gates (its train.py:145 and TTA eval path).
+    # Default False = zero on 'reject' only (the gates' own semantics,
+    # quality_gates.py:561-567); True is the bit-faithful reference mode
+    # used by the script-level differential harness.
+    zero_non_accept: bool = False
     audio: Wav2Vec2Config = dataclasses.field(default_factory=Wav2Vec2Config)
     text: XLMRConfig = dataclasses.field(default_factory=XLMRConfig)
     compute_dtype: str = "float32"      # "bfloat16" on TPU hot path
@@ -99,6 +109,12 @@ class DataConfig:
     # EnhancedASRIntegration; transcribes with Whisper only when the
     # manifest text is empty, like text_encoder.py:39-48)
     emit_asr_feats: bool = False
+    # False replicates the reference's plain (non-TTA) eval loop, which
+    # calls audio_encoder(audio_list) WITHOUT texts (eval.py:192) so every
+    # gate call takes the no-text LID fallback (1.0, "unknown", 0.0)
+    # (quality_gates.py:509-512); the batch then carries those constants
+    # instead of host-computed LID.
+    gates_see_text: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

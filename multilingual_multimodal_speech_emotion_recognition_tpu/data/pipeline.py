@@ -248,8 +248,15 @@ class BucketedLoader:
             audio_mask[r, 0] = 1.0
 
         # host-side language ID scalars feeding the device quality gates
-        # (the text side of quality_gates.py:508-515)
-        ents, _, confs = lid_mod.batch_lid(texts)
+        # (the text side of quality_gates.py:508-515). gates_see_text=False
+        # replicates the reference's plain eval loop, where the encoder is
+        # called WITHOUT texts (eval.py:192) and every gate takes the
+        # no-text fallback (1.0, "unknown", 0.0).
+        if self.ds.cfg.gates_see_text:
+            ents, _, confs = lid_mod.batch_lid(texts)
+        else:
+            ents = [1.0] * B
+            confs = [0.0] * B
         ids, tmask = self.tokenizer.encode_batch(texts, self.ds.cfg.max_text_tokens)
         batch = {
             "audio": audio, "audio_mask": audio_mask,

@@ -29,13 +29,18 @@ __all__ = [
 
 
 @functools.partial(jax.jit, static_argnames=("sample_rate", "use_gates",
-                                             "use_conditioning"))
+                                             "use_conditioning",
+                                             "zero_non_accept"))
 def frontend_process(wave: jax.Array, mask: jax.Array, *,
                      lid_entropy: jax.Array, lid_confidence: jax.Array,
                      sample_rate: int = 16000, use_gates: bool = True,
-                     use_conditioning: bool = True):
+                     use_conditioning: bool = True,
+                     zero_non_accept: bool = False):
     """Gates then conditioning (audio_encoder.py:65-88 order). Returns
-    (processed_wave, quality_feats [B,8], cond_feats [B,12], stats dict)."""
+    (processed_wave, quality_feats [B,8], cond_feats [B,12], stats dict).
+    zero_non_accept replicates the reference encoder's zeroing of
+    non-'accept' clips (audio_encoder.py:74-77; conditioning then runs on
+    the zeroed audio, exactly as there)."""
     B = wave.shape[0]
     q_feats = jnp.zeros((B, 8), wave.dtype)
     c_feats = jnp.zeros((B, 12), wave.dtype)
@@ -43,7 +48,8 @@ def frontend_process(wave: jax.Array, mask: jax.Array, *,
     if use_gates:
         wave, q = run_quality_gates(wave, mask, lid_entropy=lid_entropy,
                                     lid_confidence=lid_confidence,
-                                    sample_rate=sample_rate)
+                                    sample_rate=sample_rate,
+                                    zero_non_accept=zero_non_accept)
         q_feats, stats["quality"] = q.features, q
     if use_conditioning:
         wave, c = condition_audio(wave, mask, sample_rate=sample_rate)

@@ -108,10 +108,23 @@ def identify_language(text: str | None) -> Tuple[float, str, float]:
     return float(entropy), LANGUAGES[dom] if lang else "unknown", float(probs[dom])
 
 
+def gate_lid(text: str | None) -> Tuple[float, str, float]:
+    """LID as the GATE ORCHESTRATOR sees it (quality_gates.py:508-512):
+    only non-empty text reaches identify_language; empty/None text takes
+    the orchestrator's own fallback (1.0, "unknown", 0.0) — NOT
+    identify_language's internal 1.5 empty-text return, which that call
+    path never produces."""
+    if text and text.strip():
+        return identify_language(text)
+    return 1.0, "unknown", 0.0
+
+
 def batch_lid(texts) -> Tuple[List[float], List[str], List[float]]:
+    """Per-utterance gate-level LID scalars for batch assembly
+    (data/pipeline.py) — gate-orchestration semantics, see gate_lid."""
     ents, langs, confs = [], [], []
     for t in texts:
-        e, l, c = identify_language(t)
+        e, l, c = gate_lid(t)
         ents.append(e)
         langs.append(l)
         confs.append(c)

@@ -180,14 +180,21 @@ def quality_score(snr_db, speech_prob, clipping_pct, naturalness, lid_entropy,
             + 0.15 * naturalness + 0.10 * lid_score + 0.10 * music_score)
 
 
-@functools.partial(jax.jit, static_argnames=("sample_rate",))
+@functools.partial(jax.jit, static_argnames=("sample_rate",
+                                              "zero_non_accept"))
 def quality_gates(wave: Array, mask: Array, *, lid_entropy: Array,
                   lid_confidence: Array,
-                  sample_rate: int = 16000) -> tuple[Array, QualityStats]:
+                  sample_rate: int = 16000,
+                  zero_non_accept: bool = False
+                  ) -> tuple[Array, QualityStats]:
     """Run the full gate battery; returns (processed_wave, stats).
 
     processed_wave is zeroed where the abstain decision is 'reject'
-    (quality_gates.py:561-567). stats.features is the raw 8-dim vector of
+    (quality_gates.py:561-567). zero_non_accept=True additionally zeroes
+    'uncertain' clips — the reference ENCODER's behavior
+    (audio_encoder.py:74-77 zeroes unless should_process, i.e. unless
+    'accept'); see ModelConfig.zero_non_accept for why that mode zeroes
+    every text-bearing clip. stats.features is the raw 8-dim vector of
     quality_gates.py:543-556 — the learned 8→32→8 projection lives in the
     model parameter tree (models/model.py `quality_proj`, applied in
     encode_audio before the feature-fusion block).
@@ -222,7 +229,8 @@ def quality_gates(wave: Array, mask: Array, *, lid_entropy: Array,
         speech_prob, snr_db / 50.0, clip_pct / 100.0, naturalness,
         lid_entropy / 2.0, lid_confidence, music, laughter], axis=-1)
 
-    processed = jnp.where((decision == REJECT)[:, None], 0.0, wave)
+    zero_here = (decision != ACCEPT) if zero_non_accept else (decision == REJECT)
+    processed = jnp.where(zero_here[:, None], 0.0, wave)
     stats = QualityStats(speech_prob=speech_prob, snr_db=snr_db,
                          clipping_percent=clip_pct,
                          spectral_naturalness=naturalness,

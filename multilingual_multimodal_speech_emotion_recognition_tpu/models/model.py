@@ -233,7 +233,8 @@ def frontend_features(cfg: ModelConfig, batch: dict):
             wave.astype(jnp.float32), wave_mask.astype(jnp.float32),
             lid_entropy=ent, lid_confidence=conf,
             use_gates=cfg.use_quality_gates,
-            use_conditioning=cfg.use_audio_conditioning)
+            use_conditioning=cfg.use_audio_conditioning,
+            zero_non_accept=cfg.zero_non_accept)
     return wave, quality_feats, cond_feats
 
 

@@ -128,6 +128,27 @@ def test_bucketed_loader_shapes(wav_dir):
     assert seen == len(items)
 
 
+def test_gates_see_text_false_emits_no_text_lid_constants(wav_dir):
+    """DataConfig.gates_see_text=False replicates the reference's plain
+    eval loop (eval.py:192 passes no texts to the encoder): every row's
+    LID scalars are the no-text fallback (1.0, 0.0)
+    (quality_gates.py:509-512) regardless of manifest text."""
+    root, mpath, items = wav_dir
+    cfg = DataConfig(audio_buckets=(1.0, 2.0, 30.0),
+                     dataset_root=str(root / "datasets"), max_text_tokens=16,
+                     gates_see_text=False)
+    ds = pipe.SERDataset(str(mpath), cfg)
+    loader = pipe.BucketedLoader(ds, batch_size=2, shuffle=False,
+                                 tokenizer=tok.HashTokenizer(1000))
+    for b in loader.epoch(0):
+        np.testing.assert_array_equal(b["lid_entropy"],
+                                      np.ones_like(b["lid_entropy"]))
+        np.testing.assert_array_equal(b["lid_conf"],
+                                      np.zeros_like(b["lid_conf"]))
+        # text still tokenizes normally (only the GATES lose the text)
+        assert b["text_ids"].shape[1] == 16
+
+
 def test_sinc_resample_sine_preserves_frequency():
     sr, f0 = 16000, 440.0
     t = np.arange(sr) / sr

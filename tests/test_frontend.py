@@ -228,6 +228,46 @@ def test_reject_zeroes_audio():
     assert feats.shape == (1, 8) and np.isfinite(feats).all()
 
 
+def test_zero_non_accept_zeroes_uncertain_clips():
+    """The reference ENCODER zeroes audio unless the decision is 'accept'
+    (audio_encoder.py:74-77). With text present the simulated LID entropy
+    is >= 1.5 (quality_gates.py:276-300), so 'accept' (entropy < 1.5,
+    :383-386) is unreachable — every clip is 'uncertain' and zeroed. The
+    default mode must keep uncertain audio (zero on reject only)."""
+    from multilingual_multimodal_speech_emotion_recognition_tpu.frontend import (
+        lid as lid_mod)
+    x = speech_like(SR)
+    wave, mask = padded_batch([x], T_pad=SR)
+    ent, _, conf = lid_mod.identify_language("hello from the test")
+    assert ent >= 1.5  # the entropy wall that makes 'accept' unreachable
+    kw = dict(lid_entropy=jnp.asarray([ent]),
+              lid_confidence=jnp.asarray([conf]), sample_rate=SR)
+    kept, st = qg.quality_gates(wave, mask, **kw)
+    assert int(st.decision[0]) == qg.UNCERTAIN
+    assert float(jnp.abs(kept).max()) > 0.0          # default keeps audio
+    zeroed, st2 = qg.quality_gates(wave, mask, zero_non_accept=True, **kw)
+    assert float(jnp.abs(zeroed).max()) == 0.0       # reference-encoder mode
+    # features are computed on the ORIGINAL audio in both modes
+    np.testing.assert_array_equal(np.asarray(st.features),
+                                  np.asarray(st2.features))
+
+
+def test_gate_lid_orchestration_semantics():
+    """Empty/None text takes the ORCHESTRATOR's fallback (1.0, unknown, 0)
+    (quality_gates.py:509-512), not identify_language's internal 1.5 —
+    that call path never reaches identify_language with empty text."""
+    from multilingual_multimodal_speech_emotion_recognition_tpu.frontend import (
+        lid as lid_mod)
+    assert lid_mod.gate_lid("") == (1.0, "unknown", 0.0)
+    assert lid_mod.gate_lid(None) == (1.0, "unknown", 0.0)
+    assert lid_mod.gate_lid("  ") == (1.0, "unknown", 0.0)
+    e, lang, c = lid_mod.gate_lid("the quick brown fox")
+    assert lang == "en" and e > 1.5 and c > 0.5
+    # identify_language keeps ITS documented empty-text return for callers
+    # that use it directly (quality_gates.py:269-270)
+    assert lid_mod.identify_language("") == (1.5, "unknown", 0.0)
+
+
 def test_quality_score_weights():
     s = qg.quality_score(jnp.asarray([20.0]), jnp.asarray([1.0]),
                          jnp.asarray([0.0]), jnp.asarray([1.0]),
