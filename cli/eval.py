@@ -43,6 +43,15 @@ def main():
                         "(audio_encoder.py:74-77) — also zeroes "
                         "'uncertain' clips, which with any non-empty text "
                         "is every clip; default zeroes on 'reject' only")
+    p.add_argument("--ref_pad_semantics", action="store_true",
+                   help="bit-faithful reference padding: audio padded to "
+                        "the batch's max clip length (not the bucket cap) "
+                        "and zero-padded feature frames treated as VALID "
+                        "in cross-attention/pooling (the base feature "
+                        "extractor returns no attention mask, so the "
+                        "reference substitutes all-ones — "
+                        "audio_encoder.py:140-163); predictions become "
+                        "batch-composition-dependent, as there")
     p.add_argument("--predictions_out", type=str, default=None,
                    help="write per-utterance predictions (path, label, "
                         "prediction, probabilities, confidence, energy) as "
@@ -84,6 +93,17 @@ def main():
     if args.zero_non_accept:
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, zero_non_accept=True))
+    if args.ref_pad_semantics:
+        # single bucket: the reference has no bucketing — its DataLoader
+        # batches MANIFEST-CONSECUTIVE rows and pads each batch to its own
+        # max, and with pad-frames-valid masking the batch composition
+        # changes the predictions, so grouping by duration would diverge
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(cfg.model, pad_frames_valid=True),
+            data=dataclasses.replace(
+                cfg.data, pad_to_batch_max=True,
+                audio_buckets=(cfg.data.max_audio_seconds,)))
 
     params, _, meta = ckpt.restore_checkpoint(args.checkpoint)
     if args.int8:

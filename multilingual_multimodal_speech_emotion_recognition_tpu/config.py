@@ -49,6 +49,18 @@ class ModelConfig:
     # quality_gates.py:561-567); True is the bit-faithful reference mode
     # used by the script-level differential harness.
     zero_non_accept: bool = False
+    # Replicate the reference's PAD-FRAMES-ARE-VALID audio masking: the
+    # base wav2vec2 feature extractor returns NO attention mask
+    # (return_attention_mask=False), so AudioEncoder substitutes ALL-ONES
+    # at the padded length (audio_encoder.py:140-163) — zero-padded
+    # feature frames participate in cross-attention and pooling, making
+    # predictions depend on the batch's max clip length. True zeroes the
+    # sequence beyond each clip's real frames (the reference pads the
+    # feature sequence with exact zeros, audio_encoder.py:152-156) and
+    # hands the heads an all-ones mask. Pair with
+    # DataConfig.pad_to_batch_max so the padded frame count matches the
+    # reference's per-batch max. Default False = true masks.
+    pad_frames_valid: bool = False
     audio: Wav2Vec2Config = dataclasses.field(default_factory=Wav2Vec2Config)
     text: XLMRConfig = dataclasses.field(default_factory=XLMRConfig)
     compute_dtype: str = "float32"      # "bfloat16" on TPU hot path
@@ -115,6 +127,12 @@ class DataConfig:
     # (quality_gates.py:509-512); the batch then carries those constants
     # instead of host-computed LID.
     gates_see_text: bool = True
+    # Pad audio to the BATCH's max clip length instead of the bucket cap —
+    # the reference's eager per-batch padding (audio_encoder.py:147-171).
+    # Costs one XLA compile per distinct batch shape; only for
+    # reference-faithful comparison runs (pairs with
+    # ModelConfig.pad_frames_valid).
+    pad_to_batch_max: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -225,6 +225,10 @@ class BucketedLoader:
     def _assemble(self, bucket_idx: int, loaded: list,
                   idxs: Optional[List[int]] = None) -> dict:
         T = self.bucket_samples[bucket_idx]
+        if self.ds.cfg.pad_to_batch_max and loaded:
+            # reference-faithful eager padding (audio_encoder.py:147-171):
+            # pad to the batch's own max clip length, not the bucket cap
+            T = min(T, max(len(w) for w, _, _ in loaded))
         B = self.batch_rows
 
         audio = np.zeros((B, T), np.float32)

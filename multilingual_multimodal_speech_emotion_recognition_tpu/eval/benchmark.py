@@ -206,11 +206,10 @@ def worst_case_dsp_audio(rng, batch: int, samples: int,
     every stage executing for the batch. Two per-clip specialists alternate
     because the hum and denoise detectors want contradictory waveforms:
 
-      even rows — hum + HPF + dereverb: strong 50 Hz line (Welch peak
+      even rows — hum + HPF: strong 50 Hz line (Welch peak
         detection), 130 Hz line (>20% sub-200 Hz energy ratio after the
-        notch removes the 50 Hz line), sustained tail after an early spike
-        (post-peak 99.9%-energy decay time >> 0.5 s)
-      odd rows — denoise + dereverb: AM-modulated square wave, whose
+        notch removes the 50 Hz line)
+      odd rows — denoise: AM-modulated square wave, whose
         constant-magnitude carrier keeps the sample-level 10th-percentile
         noise floor close to the mean energy (SNR estimate < 15 dB) while
         the 3 Hz AM gives the energy VAD the frame variation it needs for
@@ -218,7 +217,11 @@ def worst_case_dsp_audio(rng, batch: int, samples: int,
 
     Both wear a trapezoid fade (quiet STFT edge frames keep the quality
     gates' SNR estimate above the 5 dB reject line — a rejected clip is
-    zeroed before conditioning and would skip the branches).
+    zeroed before conditioning and would skip the branches). Dereverb is
+    NOT in the worst case: the reference's T60 estimate never exceeds 0.1 s
+    on real audio (see frontend/conditioning.py:estimate_t60), so its
+    > 0.5 s gate is unfireable there and, replicated bit-faithfully,
+    unfireable here.
     tests/test_frontend.py::test_worst_case_audio_fires_all_dsp_branches
     pins all of these properties."""
     t = np.arange(samples) / sample_rate
@@ -234,6 +237,4 @@ def worst_case_dsp_audio(rng, batch: int, samples: int,
                  hum_clip[None, :], noisy_clip[None, :]) \
         + 0.02 * rng.standard_normal((batch, samples))
     x = x * env[None, :]
-    spike = int(0.18 * samples)
-    x[:, spike:spike + 32] += 0.9  # pins the T60 decay-start early
     return np.clip(x, -1.0, 1.0).astype(np.float32)

@@ -242,24 +242,33 @@ def spectral_gate_denoise(wave: Array, mask: Array, *, n_fft: int = 1024,
 
 
 def estimate_t60(wave: Array, mask: Array, *, sample_rate: int) -> Array:
-    """Energy-decay T60 estimate (audio_conditioning.py:272-302): cumulative
-    energy after the peak; time until the remaining-energy threshold."""
+    """Energy-decay T60 estimate — the reference's ACTUAL semantics
+    (audio_conditioning.py:272-302), which collapse to a 3-valued result:
+
+    the reference takes `where(cumsum(decay**2) < 0.001 * total)[0] / sr`.
+    Since the cumsum is non-decreasing, that first index is 0 whenever the
+    peak sample alone carries < 0.1% of the post-peak energy (any clip
+    longer than ~1 s), so t60 = 0.0; if the peak sample carries >= 0.1%
+    the index set is empty and the fallback 0.1 applies; short (< 1 s
+    post-peak) or silent decays also return 0.1. Net effect: t60 never
+    exceeds 0.1, so the dereverb gate (> 0.5 s) NEVER fires on real audio
+    — replicated bit-faithfully. (An earlier revision here implemented
+    the formula's apparent intent — time to accumulate 99.9% of the decay
+    energy — which fired dereverb on nearly every clip longer than 0.5 s
+    and attenuated clean audio by the ~0.16 mean gain; the script-level
+    differential harness, scripts/ref_differential.py, caught the
+    divergence. The dereverb path itself stays implemented and tested for
+    parity of the code surface.)"""
     B, T = wave.shape
-    peak_idx = jnp.argmax(jnp.abs(wave) * mask, axis=-1)          # [B]
+    peak_sq = jnp.max(jnp.square(wave) * mask, axis=-1)            # [B]
+    peak_idx = jnp.argmax(jnp.abs(wave) * mask, axis=-1)           # [B]
     t = jnp.arange(T)
     after = (t[None, :] >= peak_idx[:, None]) & (mask > 0)
-    sq = wave ** 2 * after
-    energy = jnp.cumsum(sq, axis=-1)
-    total = energy[:, -1:]
-    # reference: first index where cumsum < 0.001 * total — with a growing
-    # cumsum that's index 0 unless the signal is silent; replicated intent:
-    # time from peak until 99.9% of the decay energy has accumulated.
-    reach = energy >= (1.0 - 1e-3) * total
-    decay_idx = jnp.argmax(reach, axis=-1)
-    t60 = (decay_idx - peak_idx).astype(jnp.float32) / sample_rate
+    total = jnp.sum(jnp.square(wave) * after, axis=-1)             # [B]
+    t60 = jnp.where(peak_sq < 1e-3 * total, 0.0, 0.1)
     valid_len = mask.sum(-1)
     short = (valid_len - peak_idx.astype(valid_len.dtype)) < sample_rate
-    t60 = jnp.where(short | (total[:, 0] <= 0), 0.1, t60)
+    t60 = jnp.where(short | (total <= 0), 0.1, t60)
     return jnp.clip(t60, 0.0, 2.0)
 
 

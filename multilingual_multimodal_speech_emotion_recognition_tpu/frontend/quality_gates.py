@@ -78,29 +78,88 @@ def energy_vad(wave: Array, mask: Array, *, sample_rate: int = 16000) -> Array:
     return sp.masked_mean(speech.astype(jnp.float32), fmask)
 
 
-def estimate_snr(wave: Array, mask: Array, *, S: Array | None = None) -> Array:
-    """SNR from STFT edge-frame noise estimate (quality_gates.py:189-216).
+def _boundary_frames_mag(wave: Array, length: Array, pos: Array,
+                         *, n_fft: int, hop: int) -> Array:
+    """Magnitudes of CENTERED frames that cross each clip's valid end.
 
-    `S` lets the orchestrator pass precomputed UNCENTERED 2048/512 hann
-    magnitudes (an interior slice of the centered STFT — same framing,
-    offset 2 frames — so one FFT pass serves SNR and the descriptors)."""
+    librosa.stft reflect-pads the UNPADDED clip, so frame j covers clip
+    samples [j*hop - n_fft/2, j*hop + n_fft/2) with numpy-'reflect'
+    content at both ends. In a padded batch the array holds zeros past
+    the clip's length L, so those frames must be re-gathered with the
+    clip's own reflection x[L + i] = x[L - 2 - i] (padding-invariant:
+    depends only on clip content). wave [B, T], length [B], pos [B, P]
+    frame indices -> [B, P, n_fft//2 + 1]."""
+    B, T = wave.shape
+    starts = pos * hop - n_fft // 2                       # clip coordinates
+    idx = starts[..., None] + jnp.arange(n_fft)[None, None, :]
+    idx = jnp.abs(idx)                                    # head reflect
+    over = idx - (length[:, None, None] - 1)
+    idx = jnp.where(over > 0, (length[:, None, None] - 1) - over, idx)
+    idx = jnp.clip(idx, 0, T - 1)
+    frames = jnp.take_along_axis(
+        jnp.broadcast_to(wave[:, None, :], (B, pos.shape[1], T)), idx,
+        axis=2)
+    win = jnp.asarray(sp.hann_window(n_fft))
+    re, im = sp.framed_rfft(frames * win)
+    return jnp.sqrt(re * re + im * im)
+
+
+def estimate_snr(wave: Array, mask: Array, *, S: Array | None = None) -> Array:
+    """SNR from STFT edge-frame noise estimate (quality_gates.py:189-216),
+    librosa-faithful: centered 2048/512 hann framing (frame count
+    1 + L//hop), noise = mean magnitude of the LAST 10% of frames (the
+    reference's first-10% estimate is overwritten by the last-10% one at
+    :196-199 — replicated), signal = frames [k, n-k). The up-to-3 frames
+    whose window crosses the clip's end are re-gathered with the clip's
+    own reflection (see _boundary_frames_mag) so the result is exactly
+    librosa's on the unpadded clip AND padding-invariant — the round-3
+    uncentered-interior framing measured a 0.1-0.4 dB systematic delta in
+    the script-level differential (scripts/ref_differential.py).
+
+    `S` lets the orchestrator pass the precomputed CENTERED magnitudes
+    (one FFT pass serves SNR + the spectral descriptors)."""
+    n_fft, hop = 2048, 512
+    T = wave.shape[-1]
+    if T <= n_fft:
+        # sub-window clips: a single uncentered frame serves as both the
+        # signal and the noise estimate (ratio 1 -> 0 dB; silence -> 50,
+        # the reference's no-noise fallback) — the degenerate behavior of
+        # the pre-round-4 uncentered path, unreachable through the
+        # pipeline (min clip length 0.5 s = 8000 samples)
+        S_u = sp.stft_mag(wave, n_fft=min(n_fft, T), hop=hop, center=False)
+        power = (S_u.mean(axis=1) ** 2).mean(axis=-1)
+        return jnp.where(power > 0, 0.0, 50.0)
     if S is None:
-        S = sp.stft_mag(wave, n_fft=2048, hop=512, center=False)     # [B,F,b]
-    fmask = sp.full_frame_mask(mask, 2048, 512, S.shape[1])
-    n_valid = fmask.sum(axis=-1)                                     # [B]
-    n_noise = jnp.maximum((0.1 * n_valid).astype(jnp.int32), 1)      # [B]
-    pos = jnp.cumsum(fmask, axis=-1)                                 # 1..n rank
-    # last n_noise valid frames (reference bug: first-10% overwritten)
-    noise_sel = (pos > (n_valid - n_noise)[:, None]) & (fmask > 0)
-    signal_sel = ((pos > n_noise[:, None])
-                  & (pos <= (n_valid - n_noise)[:, None]) & (fmask > 0))
-    # degenerate rows (too few frames): fall back to all valid frames
-    has_signal = signal_sel.any(axis=-1, keepdims=True)
-    signal_sel = jnp.where(has_signal, signal_sel, fmask > 0)
-    noise_spec = sp.masked_mean(S, noise_sel[..., None].astype(S.dtype),
-                                axis=1)                              # [B, bins]
-    signal_spec = sp.masked_mean(S, signal_sel[..., None].astype(S.dtype),
-                                 axis=1)
+        S = sp.stft_mag(wave, n_fft=n_fft, hop=hop, center=True)   # [B,F,b]
+    F = S.shape[1]
+    L = mask.sum(axis=-1).astype(jnp.int32)                        # [B]
+    n_c = 1 + L // hop                                             # librosa
+    k = jnp.maximum((0.1 * n_c).astype(jnp.int32), 1)
+    j = jnp.arange(F)[None, :]
+    # boundary frames: the last P centered positions (windows may cross L)
+    P = 3
+    pos = n_c[:, None] - (P - jnp.arange(P))[None, :]              # [B, P]
+    pos_valid = pos >= 0
+    pos_c = jnp.clip(pos, 0, F - 1)
+    S_fix = _boundary_frames_mag(wave, L, pos_c, n_fft=n_fft, hop=hop)
+    interior = j < (n_c - P)[:, None]                              # use S
+    noise_c = (j >= (n_c - k)[:, None]) & (j < n_c[:, None]) & interior
+    signal_c = (j >= k[:, None]) & (j < (n_c - k)[:, None]) & interior
+    noise_b = pos_valid & (pos >= (n_c - k)[:, None])              # on S_fix
+    signal_b = pos_valid & (pos >= k[:, None]) & (pos < (n_c - k)[:, None])
+
+    def _mean(mc, mb):
+        tot = ((S * mc[..., None].astype(S.dtype)).sum(axis=1)
+               + (S_fix * mb[..., None].astype(S.dtype)).sum(axis=1))
+        cnt = (mc.sum(axis=-1) + mb.sum(axis=-1)).astype(S.dtype)
+        return tot / jnp.maximum(cnt, 1.0)[:, None], cnt
+
+    noise_spec, _ = _mean(noise_c, noise_b)
+    signal_spec, n_sig = _mean(signal_c, signal_b)
+    # degenerate rows (n - 2k <= 0): fall back to all valid frames
+    all_c = (j < n_c[:, None]) & interior
+    all_spec, _ = _mean(all_c, pos_valid)
+    signal_spec = jnp.where((n_sig > 0)[:, None], signal_spec, all_spec)
     signal_power = (signal_spec ** 2).mean(axis=-1)
     noise_power = (noise_spec ** 2).mean(axis=-1)
     snr = 10.0 * jnp.log10(signal_power / jnp.maximum(noise_power, 1e-20))
@@ -201,18 +260,15 @@ def quality_gates(wave: Array, mask: Array, *, lid_entropy: Array,
     """
     speech_prob = energy_vad(wave, mask, sample_rate=sample_rate)
     clip_pct = clipping_percent(wave, mask)
-    # ONE 2048/512 hann STFT serves SNR + naturalness + content type:
-    # the centered (reflect-pad) framing's interior frames ARE the
-    # uncentered frames at offset 2 (frame j_centered starts at
-    # 512·j − 1024), so SNR's uncentered magnitudes are an exact slice
+    # ONE centered 2048/512 hann STFT serves SNR + naturalness + content
+    # type (estimate_snr re-gathers only the <= 3 clip-end boundary frames)
     T = wave.shape[-1]
     n_fft, hop = 2048, 512
-    S_c = sp.stft_mag(wave, n_fft=n_fft, hop=hop)        # [B, F_c, bins]
-    F_u = max(1 + (T - n_fft) // hop, 1)
-    off = n_fft // (2 * hop)                             # = 2
-    if T >= n_fft and off + F_u <= S_c.shape[1]:
-        snr_db = estimate_snr(wave, mask, S=S_c[:, off:off + F_u])
+    if T > n_fft:
+        S_c = sp.stft_mag(wave, n_fft=n_fft, hop=hop)    # [B, F_c, bins]
+        snr_db = estimate_snr(wave, mask, S=S_c)
     else:                                                # sub-window clips
+        S_c = None
         snr_db = estimate_snr(wave, mask)
     desc = sp.spectral_descriptors(wave, mask, sample_rate=sample_rate,
                                    S=S_c)

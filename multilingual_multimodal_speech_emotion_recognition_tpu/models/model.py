@@ -186,6 +186,12 @@ def encode_audio(params: dict, cfg: ModelConfig, wave: Array, wave_mask: Array,
             seq = _feature_fuse(params["conditioning_fusion"], seq, c,
                                 dropout_rate=0.1, dropout_key=k_f,
                                 deterministic=deterministic)
+    if cfg.pad_frames_valid:
+        # reference semantics (audio_encoder.py:140-163): the per-clip
+        # feature sequence is zero-PADDED and the substituted mask is all
+        # ones, so pad frames are valid zero vectors downstream
+        seq = seq * frame_mask[..., None].astype(seq.dtype)
+        frame_mask = jnp.ones_like(frame_mask)
     return seq, frame_mask
 
 

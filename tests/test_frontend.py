@@ -309,6 +309,34 @@ def test_estimate_t60_low_for_short_dry_audio():
     assert t60 == pytest.approx(0.1)
 
 
+def test_estimate_t60_reference_semantics():
+    """The reference's cumsum-vs-threshold logic collapses to {0.0, 0.1}
+    (audio_conditioning.py:272-302; estimate_t60 docstring): 0.0 when the
+    peak sample carries < 0.1% of the post-peak energy (any sustained
+    clip), 0.1 when it dominates or the decay is short/silent — so the
+    dereverb gate (> 0.5 s) never fires on real audio. Pinned here so
+    nobody 'fixes' it back to the accumulate-99.9% reading, which fired
+    dereverb on nearly every clip (caught by scripts/ref_differential.py)."""
+    T = 2 * SR
+    # sustained tone, peak pinned EARLY so > 1 s of decay follows and the
+    # peak sample carries ~1e-5 of the post-peak energy
+    t = np.arange(T) / SR
+    sustained = (0.3 * np.sin(2 * np.pi * 300 * t)).astype(np.float32)
+    sustained[1000] = 0.5
+    impulse = np.zeros(T, np.float32)
+    impulse[100] = 0.9                                  # peak >= 0.1% total
+    impulse[101:] = 1e-4
+    wave, mask = padded_batch([sustained, impulse], T_pad=T)
+    t60 = np.asarray(cond.estimate_t60(wave, mask, sample_rate=SR))
+    assert t60[0] == pytest.approx(0.0)
+    assert t60[1] == pytest.approx(0.1)
+    assert t60.max() <= 0.1 + 1e-9                      # gate unfireable
+    out, gain_db = cond.dereverb(wave, mask, jnp.asarray(t60),
+                                 sample_rate=SR)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(wave))
+    np.testing.assert_array_equal(np.asarray(gain_db), np.zeros(2))
+
+
 def test_denoise_reduces_noise_energy():
     # noise-only edges (where the noise profile is estimated,
     # audio_conditioning.py:225-236), tone in the middle
@@ -483,10 +511,12 @@ def test_worst_case_audio_fires_all_dsp_branches():
     assert np.asarray(stats.hum_filtered)[even].all(), "hum branch dark"
     assert np.asarray(stats.hpf_applied)[even].all(), "HPF branch dark"
     assert np.asarray(stats.denoise_applied)[~even].all(), "denoise dark"
-    assert np.asarray(stats.dereverb_applied).all(), "dereverb dark"
-    # every heavy lax.cond predicate (batch-level any) therefore fires
-    for flag in ("hum_filtered", "hpf_applied", "denoise_applied",
-                 "dereverb_applied"):
+    # dereverb is deliberately absent: the reference's T60 estimate never
+    # exceeds 0.1 s (estimate_t60 docstring), so its > 0.5 s gate is
+    # unfireable on real audio there — and, bit-faithfully, here
+    assert not np.asarray(stats.dereverb_applied).any(), "dereverb fired"
+    # every fireable heavy lax.cond predicate (batch-level any) fires
+    for flag in ("hum_filtered", "hpf_applied", "denoise_applied"):
         assert np.asarray(getattr(stats, flag)).any(), flag
 
 
@@ -545,11 +575,44 @@ def test_centered_stft_interior_slice_is_uncentered_stft():
 def test_estimate_snr_shared_stft_matches_standalone():
     wave, mask = padded_batch([speech_like(SR), speech_like(SR // 2, 5)],
                               T_pad=SR)
-    S_c = sp.stft_mag(wave, n_fft=2048, hop=512)
-    F_u = 1 + (SR - 2048) // 512
-    got = np.asarray(qg.estimate_snr(wave, mask, S=S_c[:, 2:2 + F_u]))
+    S_c = sp.stft_mag(wave, n_fft=2048, hop=512)   # the orchestrator's pass
+    got = np.asarray(qg.estimate_snr(wave, mask, S=S_c))
     want = np.asarray(qg.estimate_snr(wave, mask))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-3)
+
+
+def test_estimate_snr_matches_librosa_math_on_unpadded_clip():
+    """Padded-batch estimate_snr == a direct numpy re-statement of the
+    reference's SNR (quality_gates.py:189-213) on the UNPADDED clip using
+    librosa's centered reflect stft (the shim under tests/refenv/shims
+    implements that convention) — the boundary-frame regather must make
+    the batch version exactly librosa-faithful AND padding-invariant."""
+    import sys
+    from pathlib import Path
+    shims = str(Path(__file__).resolve().parent / "refenv" / "shims")
+    sys.path.insert(0, shims)
+    try:
+        import librosa as lb_shim
+    finally:
+        sys.path.remove(shims)
+
+    for L, seed in ((SR, 3), (int(1.37 * SR), 8), (2 * SR, 11)):
+        x = speech_like(L, seed)
+        # numpy oracle: the reference's math verbatim
+        mag = np.abs(lb_shim.stft(x, n_fft=2048, hop_length=512))
+        k = int(0.1 * mag.shape[1])
+        noise = mag[:, -k:].mean(axis=1)
+        sig = mag[:, k:-k].mean(axis=1)
+        want = float(np.clip(10 * np.log10((sig ** 2).mean()
+                                           / (noise ** 2).mean()), 0, 50))
+        # batch version on a padded row
+        wave, mask = padded_batch([x], T_pad=L + 7000)
+        got = float(qg.estimate_snr(wave, mask)[0])
+        assert abs(got - want) < 2e-3, (L, got, want)
+        # and padding length must not matter at all
+        wave2, mask2 = padded_batch([x], T_pad=L + 1234)
+        got2 = float(qg.estimate_snr(wave2, mask2)[0])
+        assert abs(got - got2) < 1e-5
 
 
 def test_rms_frames_no_cancellation_on_long_clips():
