@@ -58,7 +58,9 @@ REF_EVAL = "/root/reference/src/eval.py"
 REF_TRAIN = "/root/reference/src/train.py"
 
 SR = 16000
-N_CLIPS = 48
+# 48 clips ~= 20 min end-to-end on this CPU; REF_DIFF_CLIPS trims it for
+# the pytest smoke wrapper (tests/test_reference_scripts.py)
+N_CLIPS = int(os.environ.get("REF_DIFF_CLIPS", "48"))
 
 
 def _synth_clip(rng: np.random.Generator, i: int) -> np.ndarray:

@@ -122,6 +122,21 @@ def _patch_transformers() -> None:
         lambda cls, *a, **kw: _HashTok())
 
 
+def _patch_torch_amp() -> None:
+    """train.py:151 calls `autocast(enabled=args.use_amp)` — the pre-2.0
+    torch signature; installed torch requires device_type. Default it to
+    'cpu' so the reference script runs unmodified (AMP itself stays off:
+    the differential never passes --use_amp)."""
+    import torch.amp as amp
+    orig = amp.autocast
+
+    class _Autocast(orig):
+        def __init__(self, device_type: str = "cpu", *a, **kw):
+            super().__init__(device_type, *a, **kw)
+
+    amp.autocast = _Autocast
+
+
 def _force_librosa_vad() -> None:
     import importlib
     qg = importlib.import_module("models.quality_gates")
@@ -188,6 +203,7 @@ def main() -> None:
 
     _install_shims()
     _patch_transformers()
+    _patch_torch_amp()
     _force_librosa_vad()
     _install_capture(out_dir)
 
