@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from typing import Optional, Tuple
+from typing import Optional, Tuple, Union
 
 from .models.wav2vec2 import Wav2Vec2Config
 from .models.xlmr import XLMRConfig
@@ -64,7 +64,11 @@ class ModelConfig:
     audio: Wav2Vec2Config = dataclasses.field(default_factory=Wav2Vec2Config)
     text: XLMRConfig = dataclasses.field(default_factory=XLMRConfig)
     compute_dtype: str = "float32"      # "bfloat16" on TPU hot path
-    remat_encoders: bool = True
+    # gradient-checkpointing policy for both encoder stacks: True/"full"
+    # (remat everything — default), "dots" (keep matmul outputs, recompute
+    # elementwise — the unfrozen fine-tune lever, models/remat.py),
+    # False/"none"
+    remat_encoders: Union[bool, str] = True
 
     @property
     def audio_hidden(self) -> int:

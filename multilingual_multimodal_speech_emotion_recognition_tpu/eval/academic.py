@@ -262,6 +262,18 @@ def _run_academic_evaluation(params, cfg: Config, ds, loader, tok, mesh, *,
                              code_mix_languages, zero_shot_languages,
                              open_set_unknown_class, batch_size,
                              verbose) -> Dict:
+    # per-part wall-clock (docs/ACADEMIC_TPU_r04.json records the on-TPU
+    # timings; the battery's cost profile is itself a deliverable)
+    import time as _time
+    part_seconds: Dict[str, float] = {}
+    _t0 = _time.perf_counter()
+
+    def _mark(name: str) -> None:
+        nonlocal _t0
+        now = _time.perf_counter()
+        part_seconds[name] = round(now - _t0, 2)
+        _t0 = now
+
     # 1. baseline pass (single forward, logits + probs)
     out = ev.collect_logits(params, cfg, loader, mesh, use_openmax=True)
     logits, labels = out["logits"], out["labels"]
@@ -278,6 +290,7 @@ def _run_academic_evaluation(params, cfg: Config, ds, loader, tok, mesh, *,
         "num_samples": int(len(labels)),
     }}
 
+    _mark("baseline")
     # 2. cross-lingual slices + transfer ratios over detected language tags
     # (aligned to loader order via the per-example manifest indices)
     idx = out["indices"]
@@ -290,12 +303,14 @@ def _run_academic_evaluation(params, cfg: Config, ds, loader, tok, mesh, *,
         results["cross_lingual"]["transfer"] = slicing.transfer_ratios(
             per_lang, "en")
 
+    _mark("cross_lingual")
     # 3. calibration
     cm_cal = cal.compute_calibration_metrics(preds, labels, probs)
     results["calibration"] = {
         "ece": cm_cal.ece, "mce": cm_cal.mce,
         "quality": cal.calibration_quality(cm_cal.ece)}
 
+    _mark("calibration")
     # 4. ASR tracking (hyp = ref simulation when none supplied, :250-253)
     tracker = wer_mod.ASRPerformanceTracker()
     hyps = asr_hypotheses if asr_hypotheses is not None else texts
@@ -315,6 +330,7 @@ def _run_academic_evaluation(params, cfg: Config, ds, loader, tok, mesh, *,
         results["open_set"] = _open_set_protocol(
             params, cfg, loader, mesh, int(open_set_unknown_class))
 
+    _mark("asr_risk_coverage")
     # 5. inference benchmark on the loaded model
     if run_benchmark:
         from . import benchmark as bench
@@ -387,6 +403,7 @@ def _run_academic_evaluation(params, cfg: Config, ds, loader, tok, mesh, *,
         pr = ex / ex.sum(axis=1, keepdims=True) if len(lg) else lg
         return lg.argmax(axis=1) if len(lg) else np.zeros(0, np.int64), pr, lb
 
+    _mark("benchmark_per_snr")
     # 6. few-shot adaptation (evaluate_academic_complete.py:306-325): K-shot
     # fine-tune of fusion/classifier/prototypes with everything else frozen
     if run_few_shot:
@@ -425,6 +442,7 @@ def _run_academic_evaluation(params, cfg: Config, ds, loader, tok, mesh, *,
             full_ft_f1=full_ft_f1, num_epochs=few_shot_epochs)
         results["few_shot"] = [vars(r) for r in fs_results]
 
+    _mark("few_shot")
     # 7. robustness (evaluate_academic_complete.py:327-348): noise SNR sweep
     # + Hindi/Bengali code-mixing, degradation vs the part-1 baseline
     if run_robustness:
@@ -468,6 +486,7 @@ def _run_academic_evaluation(params, cfg: Config, ds, loader, tok, mesh, *,
             _predict_with_texts, texts, labels, conf, preds,
             languages=tuple(zero_shot_languages))
 
+    _mark("robustness")
     # 8. per-class + confusion
     names = EMOTIONS_6[:cfg.model.num_labels]
     results["per_class_accuracy"] = {
@@ -477,6 +496,8 @@ def _run_academic_evaluation(params, cfg: Config, ds, loader, tok, mesh, *,
         labels, preds, cfg.model.num_labels).tolist()
 
     report = generate_report(results, names)
+    _mark("per_class_report")
+    results["part_seconds"] = part_seconds
     results["report"] = report
     if output_dir:
         outp = Path(output_dir)

@@ -37,7 +37,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from . import layers
+from . import layers, remat as remat_lib
 
 Array = jax.Array
 
@@ -375,8 +375,7 @@ def _encoder_stack(stacked: dict, cfg: Wav2Vec2Config, h: Array,
                                   eps=cfg.layer_norm_eps)
         return (x, key), None
 
-    if remat:
-        body = jax.checkpoint(body)
+    body = remat_lib.apply_remat(body, remat)
     (out, _), _ = jax.lax.scan(body, (h, dropout_key), stacked)
     return out
 

@@ -19,7 +19,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from . import layers
+from . import layers, remat as remat_lib
 
 Array = jax.Array
 
@@ -130,7 +130,6 @@ def xlmr_encode(params: dict, cfg: XLMRConfig, input_ids: Array,
         x = layers.layer_norm(layer["final_ln"], x + f, eps=cfg.layer_norm_eps)
         return (x, key), None
 
-    if remat:
-        body = jax.checkpoint(body)
+    body = remat_lib.apply_remat(body, remat)
     (out, _), _ = jax.lax.scan(body, (h, k_enc), params["layers"])
     return out

@@ -74,22 +74,40 @@ def main():
         np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
         return (time.perf_counter() - t0) / ITERS
 
-    def bench(B, *, precomputed, freeze):
+    def bench(B, *, precomputed, freeze, remat=True):
+        import dataclasses
+        mcfg = dataclasses.replace(cfg, remat_encoders=remat)
         tcfg = TrainConfig(augment=False, freeze_backbones=freeze)
         tx = opt_lib.make_train_optimizer(params, lr=2e-4, total_steps=100,
                                           freeze_backbones=freeze)
         opt_state = tx.init(params)
-        step = ts.make_train_step(cfg, tcfg, tx, donate=False)
+        step = ts.make_train_step(mcfg, tcfg, tx, donate=False)
         batch = make_batch(B, precomputed)
         key = jax.random.key(1)
-        dt = timed(lambda p, s: step(p, s, batch, key), params, opt_state)
+        try:
+            dt = timed(lambda p, s: step(p, s, batch, key), params, opt_state)
+        except Exception as e:  # XlaRuntimeError: RESOURCE_EXHAUSTED etc.
+            print(json.dumps({"batch": B, "frozen_backbones": freeze,
+                              "remat": str(remat),
+                              "error": type(e).__name__,
+                              "msg": str(e)[:120]}), flush=True)
+            return
         row = {"batch": B,
                "feats": "precomputed" if precomputed else "in-step DSP",
-               "frozen_backbones": freeze,
+               "frozen_backbones": freeze, "remat": str(remat),
                "step_ms": round(dt * 1e3, 2),
                "utt_per_sec": round(B / dt, 1),
                "clip_seconds": SECONDS}
         print(json.dumps(row), flush=True)
+
+    if "--unfrozen" in sys.argv:
+        # VERDICT r3 item 4: the phase-2 fine-tune configuration — sweep
+        # batch x remat policy to find the knee and the best policy for
+        # the --two_phase default (models/remat.py)
+        for remat in (True, "dots", False):
+            for B in (16, 32, 64, 128):
+                bench(B, precomputed=True, freeze=False, remat=remat)
+        return
 
     for B in (16, 32, 64, 128):
         bench(B, precomputed=True, freeze=True)

@@ -142,3 +142,33 @@ def test_hf_backbone_swap_into_full_model():
         params, wav2vec2_state=tm_a.state_dict(), xlmr_state=tm_t.state_dict())
     out = mdl.model_forward(params, cfg, tiny_batch())
     assert np.isfinite(np.asarray(out.logits)).all()
+
+
+def test_remat_policies_identical_values_and_grads():
+    """remat_encoders in {True/"full", "dots", False/"none"} is a pure
+    memory/recompute trade (models/remat.py): forward values and gradients
+    must be bit-comparable across policies."""
+    import dataclasses
+
+    batch = tiny_batch()
+    params = mdl.init_model(jax.random.key(3), tiny_config())
+
+    def run(policy):
+        cfg = tiny_config(remat_encoders=policy)
+
+        def loss(p):
+            out = mdl.model_forward(p, cfg, batch, deterministic=True)
+            return (out.logits ** 2).mean()
+
+        v, g = jax.value_and_grad(loss)(params)
+        gsum = sum(float(np.abs(np.asarray(l)).sum())
+                   for l in jax.tree_util.tree_leaves(g))
+        return float(v), gsum
+
+    base = run(True)
+    assert base[1] > 0.0
+    for policy in ("full", "dots", False, "none"):
+        v, gsum = run(policy)
+        np.testing.assert_allclose(v, base[0], rtol=1e-6, err_msg=str(policy))
+        np.testing.assert_allclose(gsum, base[1], rtol=1e-5,
+                                   err_msg=str(policy))
