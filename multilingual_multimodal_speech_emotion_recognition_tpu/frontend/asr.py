@@ -206,6 +206,77 @@ def silence_regions_rms(audio: np.ndarray, sr: int = 16000, *,
 
 # ----------------------------------------------------------------- backend
 
+class JaxWhisperASR:
+    """TPU-native Whisper backend: the whole mel -> encoder -> KV-cached
+    greedy decode runs as one jitted program (models/whisper.py), unlike
+    WhisperASR below, which drives torch on the host like the reference
+    (asr_integration.py:59-293). Duck-types WhisperASR's backend protocol
+    (.available / .transcribe) so EnhancedASRIntegration takes it
+    unchanged.
+
+    Construct from converted params (plus an optional HF tokenizer for
+    id->text; without one the text is the space-joined raw ids, which the
+    downstream confidence pipeline treats as words)."""
+
+    def __init__(self, params, cfg, *, tokenizer=None,
+                 prefix_ids=None, max_new_tokens: int = 48):
+        from ..models import whisper as jw
+        self._jw = jw
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.prefix_ids = (list(prefix_ids) if prefix_ids is not None
+                           else [cfg.decoder_start_token_id])
+        self.max_new_tokens = max_new_tokens
+        import jax as _jax
+        self._decode = _jax.jit(
+            lambda p, wave, prefix: jw.transcribe_batch(
+                p, cfg, wave, prefix, max_new_tokens=max_new_tokens))
+
+    @classmethod
+    def from_hf_model(cls, model, **kw):
+        """Convert a transformers WhisperForConditionalGeneration."""
+        from ..models import whisper as jw
+        c = model.config
+        cfg = jw.WhisperConfig(
+            vocab_size=c.vocab_size, num_mel_bins=c.num_mel_bins,
+            d_model=c.d_model, encoder_layers=c.encoder_layers,
+            encoder_attention_heads=c.encoder_attention_heads,
+            decoder_layers=c.decoder_layers,
+            decoder_attention_heads=c.decoder_attention_heads,
+            encoder_ffn_dim=c.encoder_ffn_dim,
+            decoder_ffn_dim=c.decoder_ffn_dim,
+            max_source_positions=c.max_source_positions,
+            max_target_positions=c.max_target_positions,
+            decoder_start_token_id=c.decoder_start_token_id,
+            eos_token_id=c.eos_token_id)
+        return cls(jw.params_from_hf(model.state_dict(), cfg), cfg, **kw)
+
+    @property
+    def available(self) -> bool:
+        return True
+
+    def transcribe(self, audio: np.ndarray, sr: int = 16000
+                   ) -> Tuple[str, List[str], List[float]]:
+        import jax.numpy as jnp
+        wave = jnp.asarray(np.asarray(audio, np.float32)[None])
+        prefix = jnp.asarray([self.prefix_ids], jnp.int32)
+        toks, confs = self._decode(self.params, wave, prefix)
+        ids = [int(t) for t in np.asarray(toks[0])]
+        cf = [float(c) for c in np.asarray(confs[0])]
+        # trim at EOS (the step that emitted it is kept, frozen tail cut)
+        if self.cfg.eos_token_id in ids:
+            n = ids.index(self.cfg.eos_token_id) + 1
+            ids, cf = ids[:n], cf[:n]
+        if self.tokenizer is not None:
+            tokens = [self.tokenizer.decode([i]) for i in ids]
+            text = self.tokenizer.decode(ids, skip_special_tokens=True)
+        else:
+            tokens = [str(i) for i in ids]
+            text = " ".join(tokens)
+        return text, tokens, cf
+
+
 class WhisperASR:
     """Lazy Whisper backend (transformers). Loads on first use; reports
     availability instead of raising when weights are absent (the
