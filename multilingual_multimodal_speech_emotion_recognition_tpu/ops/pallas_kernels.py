@@ -17,7 +17,11 @@ attentive_stats_pooling_pallas
     Masked attentive-statistics pooling (pooling.py:15-28 parity): score
     MLP, masked softmax over time, weighted mean ‖ weighted std — one
     kernel per batch row block, one pass over the sequence, no [B, S]
-    score round-trips to HBM.
+    score round-trips to HBM. Re-measured round 4 at the B=128 knee
+    (scripts/tpu_flash_retry.py, f32): jnp/pallas ms = 6.0/9.2
+    (B=128,S=199,D=768), 3.0/4.1 (B=256), 5.0/7.6 (B=128,S=1499) — XLA's
+    fusion still wins and the bf16 kernel fails Mosaic compilation, so
+    the jnp path stays the default.
 
 flash_attention
     Masked flash attention (forward): blockwise online-softmax over KV
@@ -25,11 +29,16 @@ flash_attention
     KV-blockwise structure is what lets a future `sequence` mesh axis shard
     the frame dimension (SURVEY.md §5.7 extension note). NOT wired into the
     default model: at this model's scales (Dh=64, S≤1499) XLA's fused
-    attention is faster on v5e (5.3 ms vs 236 ms at B=8/S=1499/H=12 with
-    128-blocks — the per-head Dh=64 half-fills the lanes and the grid is
-    launch-bound; 512-blocks trip a Mosaic VMEM-accounting OOM). Kept as
-    tested infrastructure for long-context sharding, where avoiding the
-    O(S²) HBM score materialization is the point.
+    attention is faster on v5e — re-measured round 4 at the B=128 serving
+    knee (scripts/tpu_flash_retry.py, bf16, 128-blocks): XLA/flash ms =
+    4.6/56 (B=64,S=199,H=12), 6.7/110 (B=128,S=199), 13.8/217
+    (B=256,S=199), 5.1/147 (B=128,S=199,H=16 wavlm-large), 5.3/237
+    (B=8,S=1499), 65.8/3774 (B=128,S=1499) — the per-head Dh=64
+    half-fills the lanes and the serial KV-tile loop loses to XLA's
+    fused pipeline at every geometry; 256-blocks still trip the Mosaic
+    VMEM accounting. Kept as tested infrastructure for long-context
+    sharding, where avoiding the O(S²) HBM score materialization is the
+    point.
 
 All kernels run in `interpret=True` mode off-TPU so the CPU test suite
 exercises their numerics; `use_pallas()` gates the real lowering.

@@ -402,6 +402,88 @@ def main() -> None:
         if not all(v["ok"] for v in results.values()):
             raise SystemExit("train differential FAILED")
 
+    # ----- train_crema.py differential: the reference's M3-stabilized
+    # 6-class headline trainer runs end to end (seeded, AMP off, eval()
+    # on every module in its val loop -> deterministic); its best
+    # checkpoint imports and our eval reproduces that epoch's val
+    # predictions. Its val loop uses use_openmax=False and never fits
+    # Weibull, so the buffers stay at init — our always-on OpenMax is a
+    # per-sample uniform logit scale there (argmax-invariant).
+    crema_dir = workdir / "ckpts_crema"
+    if "crema_train" in stages:
+        rows6 = [json.loads(l) for l in
+                 (workdir / "val6.jsonl").read_text().splitlines()]
+        (workdir / "crema_train6.jsonl").write_text(
+            "".join(json.dumps(r) + "\n" for r in rows6[:36]))
+        (workdir / "crema_val6.jsonl").write_text(
+            "".join(json.dumps(r) + "\n" for r in rows6[36:]))
+        run_bootstrap("/root/reference/train_crema.py",
+                      ["--train_manifest", "crema_train6.jsonl",
+                       "--val_manifest", "crema_val6.jsonl",
+                       "--epochs", "2", "--batch_size", "4",
+                       "--save_dir", str(crema_dir)], workdir, "crema_train")
+        print("train_crema.py complete:",
+              sorted(p.name for p in crema_dir.glob("*.pt")))
+
+    imported_c = workdir / "imported_crema"
+    if "crema_import" in stages and not imported_c.exists():
+        best = sorted(crema_dir.glob("best_crema_m3_stable_f1_*.pt"))
+        if not best:
+            raise SystemExit("run crema_train first")
+        run_ours(["import_checkpoint.py", "--reference_checkpoint",
+                  str(best[-1]), "--out", str(imported_c),
+                  "--compute_dtype", "float32",
+                  "--audio_heads", "4", "--text_heads", "4",
+                  "--conv_stride", "5,4,4"], workdir, "crema_import")
+
+    if "crema_eval" in stages:
+        run_ours(["eval.py", "--checkpoint", str(imported_c),
+                  "--manifest", "crema_val6.jsonl", "--dataset_root",
+                  str(workdir / "datasets"), "--platform", "cpu",
+                  "--batch_size", "4", "--zero_non_accept",
+                  "--predictions_out", str(workdir / "ours_crema.jsonl")],
+                 workdir, "crema_eval")
+
+    if "crema_compare" in stages:
+        # reconstruct per-epoch val windows from the weighted_f1 capture:
+        # each val pass is a run of batches whose labels tile the val
+        # manifest in order (train batches are shuffled and 4-class... 6
+        # here, so match on the label sequence)
+        val_rows = [json.loads(l) for l in
+                    (workdir / "crema_val6.jsonl").read_text().splitlines()]
+        val_labels = [r["label"] for r in val_rows]
+        recs = read_capture(workdir / "ref_crema_train", "weighted_f1")
+        windows = []
+        i = 0
+        while i < len(recs):
+            labels_cat, preds_cat, f1s = [], [], []
+            j = i
+            while j < len(recs) and labels_cat != val_labels:
+                labels_cat += recs[j]["labels"]
+                preds_cat += recs[j]["preds"]
+                f1s.append(recs[j]["f1"])
+                if len(labels_cat) > len(val_labels) or \
+                        labels_cat != val_labels[:len(labels_cat)]:
+                    break
+                j += 1
+            if labels_cat == val_labels:
+                windows.append({"preds": preds_cat,
+                                "avg_f1": float(np.mean(f1s))})
+                i = j
+            else:
+                i += 1
+        if not windows:
+            raise SystemExit("no val windows found in crema capture")
+        # the reference keeps the FIRST epoch achieving the max avg F1
+        # (strict > improvement test, train_crema.py:459-487)
+        best_w = max(windows, key=lambda w: w["avg_f1"])
+        our = read_our_preds(workdir / "ours_crema.jsonl")
+        compare("crema6", val_labels, best_w["preds"], our, results=results)
+        (workdir / "DIFFERENTIAL_crema.json").write_text(
+            json.dumps(results, indent=2))
+        if not all(v["ok"] for v in results.values()):
+            raise SystemExit("crema differential FAILED")
+
     if "compare" in stages:
         for tag, ref_dir, ours_file in (
                 ("plain", "ref_eval_plain", "ours_plain.jsonl"),

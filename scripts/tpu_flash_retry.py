@@ -5,9 +5,15 @@ serving knee (VERDICT r3 item 6).
 The round-2 'launch-bound, XLA wins' verdicts in ops/pallas_kernels.py
 were measured at B=8-64; the measured throughput knee moved to B=128
 (docs/PERFORMANCE.md), where launch overhead amortizes differently. Times
-XLA's fused attention vs flash_attention and the jnp pooling vs
-attentive_stats_pooling_pallas at the flagship geometry (S=199 @ 4 s for
-the 320x conv stride... S=1499 is the 30 s bucket) and both block sizes.
+XLA attention (the einsum form the encoder stacks compile to) vs
+flash_attention, and jnp pooling vs attentive_stats_pooling_pallas, at
+the flagship geometry (S=199 @ 4 s at the 320x conv stride; S=1499 @
+30 s) and the wavlm-large head count.
+
+Sync discipline: every benched function reduces its output to ONE scalar
+inside the jit, and the timing loop fetches only that scalar — fetching
+a full activation would ride the ~3 MB/s relay link and dominate the
+measurement (CLAUDE.md).
 
 TPU session only:  python scripts/tpu_flash_retry.py
 """
@@ -26,14 +32,14 @@ WARMUP, ITERS = 2, 10
 
 
 def timed(fn, *args):
-    import jax
+    """fn must return a SCALAR device array."""
     for _ in range(WARMUP):
-        np.asarray(jax.tree.leaves(fn(*args))[0]).ravel()[:1]
+        out = fn(*args)
+    np.asarray(out)
     t0 = time.perf_counter()
-    out = None
     for _ in range(ITERS):
         out = fn(*args)
-    np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
+    np.asarray(out)           # drain the dispatch queue, fetch 4 bytes
     return (time.perf_counter() - t0) / ITERS * 1e3
 
 
@@ -46,53 +52,67 @@ def main():
 
     rng = np.random.default_rng(0)
 
-    def xla_attn(q, k, v, mask):
-        Dh = q.shape[-1]
-        s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(Dh)
+    def xla_attn(q, k, v, mask, num_heads):
+        B, S, D = q.shape
+        Dh = D // num_heads
+        qh = q.reshape(B, S, num_heads, Dh)
+        kh = k.reshape(B, S, num_heads, Dh)
+        vh = v.reshape(B, S, num_heads, Dh)
+        s = (jnp.einsum("bqhd,bkhd->bhqk", qh, kh).astype(jnp.float32)
+             / np.sqrt(Dh))
         s = jnp.where(mask[:, None, None, :] > 0, s, -1e30)
-        return jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, axis=-1), v)
+        a = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", a, vh).reshape(B, S, D)
+        return jnp.sum(out.astype(jnp.float32))
 
     for B, S, H in ((64, 199, 12), (128, 199, 12), (256, 199, 12),
-                    (128, 199, 16),      # wavlm-large geometry @ 4 s
+                    (128, 199, 16),      # wavlm-large heads @ 4 s
                     (8, 1499, 12), (64, 1499, 12), (128, 1499, 12)):
-        Dh = 64
-        q = jnp.asarray(rng.standard_normal((B, H, S, Dh)),
-                        jnp.bfloat16)
-        k = jnp.asarray(rng.standard_normal((B, H, S, Dh)), jnp.bfloat16)
-        v = jnp.asarray(rng.standard_normal((B, H, S, Dh)), jnp.bfloat16)
+        D = 64 * H
+        q = jnp.asarray(rng.standard_normal((B, S, D)), jnp.bfloat16)
+        k = jnp.asarray(rng.standard_normal((B, S, D)), jnp.bfloat16)
+        v = jnp.asarray(rng.standard_normal((B, S, D)), jnp.bfloat16)
         mask = jnp.ones((B, S), jnp.float32)
-        t_xla = timed(jax.jit(xla_attn), q, k, v, mask)
+        t_xla = timed(jax.jit(functools.partial(xla_attn, num_heads=H)),
+                      q, k, v, mask)
         row = {"kind": "attention", "B": B, "S": S, "H": H,
                "xla_ms": round(t_xla, 3)}
         for blk in (128, 256):
             try:
-                f = jax.jit(functools.partial(pk.flash_attention,
-                                              block_q=min(blk, S),
-                                              block_kv=min(blk, S)))
+                f = jax.jit(lambda q, k, v, m, blk=blk: jnp.sum(
+                    pk.flash_attention(q, k, v, m, num_heads=H,
+                                       block_q=min(blk, S),
+                                       block_k=min(blk, S))
+                    .astype(jnp.float32)))
                 row[f"flash{blk}_ms"] = round(timed(f, q, k, v, mask), 3)
             except Exception as e:
-                row[f"flash{blk}_ms"] = f"{type(e).__name__}"
+                row[f"flash{blk}_ms"] = f"{type(e).__name__}: {str(e)[:60]}"
         print(json.dumps(row), flush=True)
 
     for B, S, D in ((64, 199, 768), (128, 199, 768), (256, 199, 768),
                     (128, 1499, 768)):
-        x = jnp.asarray(rng.standard_normal((B, S, D)), jnp.bfloat16)
-        mask = jnp.ones((B, S), jnp.float32)
-        w1 = jnp.asarray(rng.standard_normal((D, 128)) * 0.05, jnp.bfloat16)
-        b1 = jnp.zeros((128,), jnp.bfloat16)
-        w2 = jnp.asarray(rng.standard_normal((128, 1)) * 0.05, jnp.bfloat16)
-        b2 = jnp.zeros((1,), jnp.bfloat16)
-        p = {"w1": {"kernel": w1, "bias": b1}, "w2": {"kernel": w2, "bias": b2}}
-        t_jnp = timed(jax.jit(pool_ops.attentive_stats_pooling), p, x, mask)
-        row = {"kind": "pooling", "B": B, "S": S, "D": D,
-               "jnp_ms": round(t_jnp, 3)}
-        try:
-            t_pl = timed(jax.jit(pk.attentive_stats_pooling_pallas), p, x,
-                         mask)
-            row["pallas_ms"] = round(t_pl, 3)
-        except Exception as e:
-            row["pallas_ms"] = type(e).__name__
-        print(json.dumps(row), flush=True)
+        for dtype in (jnp.float32, jnp.bfloat16):
+            x = jnp.asarray(rng.standard_normal((B, S, D)), dtype)
+            mask = jnp.ones((B, S), jnp.float32)
+            p = {"w1": {"kernel": jnp.asarray(
+                rng.standard_normal((D, 128)) * 0.05, dtype),
+                "bias": jnp.zeros((128,), dtype)},
+                "w2": {"kernel": jnp.asarray(
+                    rng.standard_normal((128, 1)) * 0.05, dtype),
+                    "bias": jnp.zeros((1,), dtype)}}
+            t_jnp = timed(jax.jit(lambda p, x, m: jnp.sum(
+                pool_ops.attentive_stats_pooling(p, x, m)
+                .astype(jnp.float32))), p, x, mask)
+            row = {"kind": "pooling", "B": B, "S": S,
+                   "dtype": np.dtype(dtype).name, "jnp_ms": round(t_jnp, 3)}
+            try:
+                t_pl = timed(jax.jit(lambda p, x, m: jnp.sum(
+                    pk.attentive_stats_pooling_pallas(p, x, m)
+                    .astype(jnp.float32))), p, x, mask)
+                row["pallas_ms"] = round(t_pl, 3)
+            except Exception as e:
+                row["pallas_ms"] = f"{type(e).__name__}: {str(e)[:60]}"
+            print(json.dumps(row), flush=True)
 
 
 if __name__ == "__main__":

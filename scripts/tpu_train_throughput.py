@@ -103,10 +103,19 @@ def main():
     if "--unfrozen" in sys.argv:
         # VERDICT r3 item 4: the phase-2 fine-tune configuration — sweep
         # batch x remat policy to find the knee and the best policy for
-        # the --two_phase default (models/remat.py)
-        for remat in (True, "dots", False):
-            for B in (16, 32, 64, 128):
-                bench(B, precomputed=True, freeze=False, remat=remat)
+        # the --two_phase default (models/remat.py). An OOM can leave the
+        # relay-backed TPU client unusable for the rest of the process
+        # (observed: the B=128 full-remat OOM killed the run), so select
+        # policies/batches via flags and run risky points LAST or alone:
+        #   --policies full,dots,none   --batches 16,32,64,128
+        pol_arg = next((a.split("=", 1)[1] for a in sys.argv
+                        if a.startswith("--policies=")), "full,dots,none")
+        b_arg = next((a.split("=", 1)[1] for a in sys.argv
+                      if a.startswith("--batches=")), "16,32,64")
+        pol_map = {"full": True, "dots": "dots", "none": False}
+        for pol in pol_arg.split(","):
+            for B in (int(x) for x in b_arg.split(",")):
+                bench(B, precomputed=True, freeze=False, remat=pol_map[pol])
         return
 
     for B in (16, 32, 64, 128):
