@@ -4,7 +4,8 @@
 Measures utterances/sec/chip for the full inference pipeline with the
 device-side front-end DSP actually executing — quality gates (VAD/SNR/
 clipping/naturalness/abstain, may zero rejected audio) + audio conditioning
-(hum notch, HPF, spectral-gate denoise, dereverb, LUFS) — followed by the
+(hum notch, HPF, spectral-gate denoise, LUFS; dereverb is unfireable by
+the reference's own T60 estimate, frontend/conditioning.py) — followed by the
 frozen Wav2Vec2-base audio encoder (+adapter +front-end feature fusion),
 frozen XLM-R-base text encoder (+adapter), bidirectional cross-modal
 attention, attentive-stats pooling ×2, gated fusion, and the 35-layer
@@ -18,10 +19,10 @@ end-to-end; baseline = 20 utterances/sec. `vs_baseline` = value / 20.
 
 Prints ONE JSON line. `value` is the clean-audio end-to-end number; the
 bracketing fields record:
-  e2e_worst_utt_per_sec  — adversarial audio firing EVERY heavy lax.cond
-                           DSP branch (50 Hz hum + low-SNR mixture +
-                           long-decay reverb profile); real noisy corpora
-                           sit between `value` and this
+  e2e_worst_utt_per_sec  — adversarial audio firing EVERY fireable heavy
+                           lax.cond DSP branch (50 Hz hum + low-SNR
+                           mixture); real noisy corpora sit between
+                           `value` and this
   tta_utt_per_sec        — the reference eval.py serving mode: 5× TTA
                            (speed ±5% + noise) + OpenMax + temperature
                            scaling (src/eval.py:23-67,174-202)

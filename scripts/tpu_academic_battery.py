@@ -93,6 +93,7 @@ def main() -> None:
              "--val_manifest", str(workdir / "val.jsonl"),
              "--dataset_root", str(workdir / "datasets"),
              "--epochs", str(args.epochs), "--batch_size", "16",
+             "--num_labels", "6",
              "--save_dir", str(ckpt_dir)], workdir, "train")
 
     # highest-F1 checkpoint (dir names carry the score: epoch_{e}_f1_{f1})
