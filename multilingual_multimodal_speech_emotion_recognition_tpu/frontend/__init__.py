@@ -16,14 +16,16 @@ import jax.numpy as jnp
 
 from . import asr, conditioning, lid, quality_gates, spectral
 from .asr import ASRResult, EnhancedASRIntegration, create_enhanced_asr
-from .conditioning import ConditioningStats, condition_audio
+from .conditioning import (NOISE_TYPES, ConditioningStats, condition_audio,
+                           conditioning_report, detect_noise_type)
 from .lid import batch_lid, identify_language
 from .quality_gates import QualityStats, quality_gates as run_quality_gates
 
 __all__ = [
     "ASRResult", "ConditioningStats", "EnhancedASRIntegration",
-    "QualityStats", "asr", "batch_lid", "condition_audio", "conditioning",
-    "create_enhanced_asr", "frontend_process", "identify_language", "lid",
+    "NOISE_TYPES", "QualityStats", "asr", "batch_lid", "condition_audio",
+    "conditioning", "conditioning_report", "create_enhanced_asr",
+    "detect_noise_type", "frontend_process", "identify_language", "lid",
     "quality_gates", "run_quality_gates", "spectral",
 ]
 

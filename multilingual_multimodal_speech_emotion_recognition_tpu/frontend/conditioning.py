@@ -17,7 +17,7 @@ Parity map (reference file:line):
   hum detect (Welch peak > mean + 2σ) + notch Q=30  audio_conditioning.py:66-94
   HPF decision (low-freq ratio > 20%) + cutoff       audio_conditioning.py:105-146
   SNR estimate (energy / 10th-pct noise floor)       audio_conditioning.py:158-169
-  noise-type by band ratios                          audio_conditioning.py:171-197
+  noise-type by band ratios                          audio_conditioning.py:169-197
   spectral-gating denoise when SNR < 15 dB           audio_conditioning.py:225-261
   T60 estimate + mean-gain "dereverb" if T60 > .5 s  audio_conditioning.py:268-330
   RMS-LUFS + compression + ±6 dB gain                audio_conditioning.py:357-431
@@ -46,6 +46,15 @@ MAX_GAIN_DB = 6.0
 MAX_COMPRESSION = 4.0
 
 
+# detect_noise_type categories (audio_conditioning.py:169-197); stats carry
+# the integer code (device-friendly), NOISE_TYPES maps it back to the
+# reference's strings for reports
+NOISE_TYPES = ("unknown", "low_frequency", "high_frequency", "mid_frequency",
+               "white_noise")
+(NOISE_UNKNOWN, NOISE_LOW_FREQ, NOISE_HIGH_FREQ, NOISE_MID_FREQ,
+ NOISE_WHITE) = range(5)
+
+
 class ConditioningStats(NamedTuple):
     hum_filtered: Array      # [B] {0,1}
     hpf_applied: Array       # [B] {0,1}
@@ -60,6 +69,7 @@ class ConditioningStats(NamedTuple):
     peak_reduction_db: Array  # [B]
     compression_ratio: Array  # [B]
     hpf_cutoff: Array        # [B] Hz
+    noise_type: Array        # [B] int32 code into NOISE_TYPES
     features: Array          # [B, 12] raw (pre-projection) feature vector
 
 
@@ -93,14 +103,20 @@ def _notch_mag_sq_freqs(freqs: np.ndarray, sample_rate: int, f0: float,
     return (np.abs(H) ** 2).astype(np.float32)
 
 
+def _butter_hp_mag_sq_on(freqs: np.ndarray, cutoff: Array,
+                         order: int = 4) -> Array:
+    """|H(f)|² of an order-n Butterworth HPF on an arbitrary frequency
+    grid: 1 / (1 + (fc/f)^(2n)). cutoff [B] -> [B, len(freqs)]."""
+    f = jnp.asarray(np.asarray(freqs, np.float32))
+    ratio = cutoff[:, None] / jnp.maximum(f[None, :], 1e-6)
+    return 1.0 / (1.0 + ratio ** (2 * order))
+
+
 def _butter_hp_mag_sq(T: int, sample_rate: int, cutoff: Array,
                       order: int = 4) -> Array:
-    """|H(f)|² of an order-n Butterworth HPF: 1 / (1 + (fc/f)^(2n)).
-    cutoff is a per-utterance [B] array -> [B, bins]."""
-    freqs = jnp.asarray(np.fft.rfftfreq(T, d=1.0 / sample_rate),
-                        dtype=jnp.float32)
-    ratio = cutoff[:, None] / jnp.maximum(freqs[None, :], 1e-6)
-    return 1.0 / (1.0 + ratio ** (2 * order))
+    """Same response on the length-T rfft grid."""
+    return _butter_hp_mag_sq_on(np.fft.rfftfreq(T, d=1.0 / sample_rate),
+                                cutoff, order)
 
 
 def _detect_hum_from_psd(freqs: np.ndarray, psd: Array) -> Array:
@@ -179,6 +195,38 @@ def estimate_snr_energy(wave: Array, mask: Array) -> Array:
     snr = 10.0 * jnp.log10(energy / jnp.maximum(floor, 1e-20))
     snr = jnp.where(floor > 0, snr, 50.0)
     return jnp.clip(snr, 0.0, 50.0)
+
+
+def classify_noise_psd(freqs: np.ndarray, psd: Array) -> Array:
+    """Band-ratio noise classification from a Welch PSD
+    (audio_conditioning.py:169-197): energies in [0,500) / [500,2000) /
+    [2000,∞) Hz; low>0.5 → low_frequency, elif high>0.4 → high_frequency,
+    elif mid>0.6 → mid_frequency, else white_noise; zero total → unknown.
+    Returns int32 codes into NOISE_TYPES, [B]."""
+    f = np.asarray(freqs)
+    e_low = (psd * jnp.asarray(f < 500.0, psd.dtype)).sum(-1)
+    e_mid = (psd * jnp.asarray((f >= 500.0) & (f < 2000.0), psd.dtype)).sum(-1)
+    e_high = (psd * jnp.asarray(f >= 2000.0, psd.dtype)).sum(-1)
+    total = e_low + e_mid + e_high
+    t = jnp.maximum(total, 1e-30)
+    code = jnp.where(e_low / t > 0.5, NOISE_LOW_FREQ,
+                     jnp.where(e_high / t > 0.4, NOISE_HIGH_FREQ,
+                               jnp.where(e_mid / t > 0.6, NOISE_MID_FREQ,
+                                         NOISE_WHITE)))
+    return jnp.where(total > 0, code, NOISE_UNKNOWN).astype(jnp.int32)
+
+
+def detect_noise_type(wave: Array, mask: Array, *, sample_rate: int) -> Array:
+    """Reference-faithful standalone noise-type detection: its own
+    nperseg=1024 Welch pass (audio_conditioning.py:171's
+    signal.welch(audio, fs, nperseg=1024)) then the band-ratio rules.
+    The conditioning chain instead derives the classification from its
+    already-computed nperseg=2048 Welch grid (see condition_audio) —
+    band-energy RATIOS are bin-width-normalized integrals of the same
+    density, so the two grids agree except exactly at a threshold."""
+    freqs, psd = sp.welch_psd(wave, mask, sample_rate=sample_rate,
+                              nperseg=1024)
+    return classify_noise_psd(freqs, psd)
 
 
 def spectral_gate_denoise(wave: Array, mask: Array, *, n_fft: int = 1024,
@@ -380,6 +428,14 @@ def condition_audio(wave: Array, mask: Array, *,
                      _apply_notch_hpf, lambda w: w, wave) * mask
     cutoff_feat = jnp.where(should_hpf, cutoff, 0.0)
 
+    # noise type on the post-notch/HPF signal (the reference classifies
+    # hpf_audio, audio_conditioning.py:525+:248): derived from the shared
+    # Welch PSD with the applied |H|² responses folded in — zero extra
+    # spectral passes; see detect_noise_type for the nperseg caveat
+    psd_post = psd0 * notch_w * jnp.where(
+        should_hpf[:, None], _butter_hp_mag_sq_on(freqs_w, cutoff), 1.0)
+    noise_type = classify_noise_psd(freqs_w, psd_post)
+
     snr_before = estimate_snr_energy(x, mask)
     need_denoise = snr_before < SNR_DENOISE_THRESHOLD
     # the denoiser (framed fft round trip + overlap-add) is the most
@@ -436,5 +492,33 @@ def condition_audio(wave: Array, mask: Array, *,
         denoise_gain_db=denoise_gain, estimated_t60=t60,
         lufs_original=lufs_orig, lufs_adjustment=lufs_adj,
         peak_reduction_db=peak_red, compression_ratio=comp_ratio,
-        hpf_cutoff=cutoff_feat, features=features)
+        hpf_cutoff=cutoff_feat, noise_type=noise_type, features=features)
     return x, stats
+
+
+def conditioning_report(stats: ConditioningStats, i: int = 0) -> str:
+    """Human-readable per-utterance report
+    (audio_conditioning.py:608-630 get_conditioning_report)."""
+    g = lambda a: float(np.asarray(a)[i])
+    return f"""
+Audio Conditioning Report:
+==========================
+Processing Applied:
+  - Hum Filtering: {'Yes' if g(stats.hum_filtered) else 'No'}
+  - High-Pass Filter: {'Yes' if g(stats.hpf_applied) else 'No'} (cutoff: {g(stats.hpf_cutoff):.0f} Hz)
+  - Denoising: {'Yes' if g(stats.denoise_applied) else 'No'}
+  - Dereverberation: {'Yes' if g(stats.dereverb_applied) else 'No'}
+
+Quality Metrics:
+  - SNR Before: {g(stats.snr_before):.1f} dB
+  - SNR After: {g(stats.snr_after):.1f} dB
+  - Denoise Gain: {g(stats.denoise_gain_db):.1f} dB
+  - Estimated T60: {g(stats.estimated_t60):.2f} s
+  - Noise Type: {NOISE_TYPES[int(np.asarray(stats.noise_type)[i])]}
+
+Loudness Normalization:
+  - Original LUFS: {g(stats.lufs_original):.1f}
+  - LUFS Adjustment: {g(stats.lufs_adjustment):.1f} dB
+  - Peak Reduction: {g(stats.peak_reduction_db):.1f} dB
+  - Compression Ratio: {g(stats.compression_ratio):.1f}
+"""

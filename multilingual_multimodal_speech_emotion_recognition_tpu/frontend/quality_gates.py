@@ -78,9 +78,9 @@ def energy_vad(wave: Array, mask: Array, *, sample_rate: int = 16000) -> Array:
     return sp.masked_mean(speech.astype(jnp.float32), fmask)
 
 
-def _boundary_frames_mag(wave: Array, length: Array, pos: Array,
-                         *, n_fft: int, hop: int) -> Array:
-    """Magnitudes of CENTERED frames that cross each clip's valid end.
+def _boundary_frames(wave: Array, length: Array, pos: Array,
+                     *, n_fft: int, hop: int) -> Array:
+    """CENTERED frames that cross each clip's valid end (gather path).
 
     librosa.stft reflect-pads the UNPADDED clip, so frame j covers clip
     samples [j*hop - n_fft/2, j*hop + n_fft/2) with numpy-'reflect'
@@ -88,7 +88,13 @@ def _boundary_frames_mag(wave: Array, length: Array, pos: Array,
     the clip's length L, so those frames must be re-gathered with the
     clip's own reflection x[L + i] = x[L - 2 - i] (padding-invariant:
     depends only on clip content). wave [B, T], length [B], pos [B, P]
-    frame indices -> [B, P, n_fft//2 + 1]."""
+    frame indices -> [B, P, n_fft].
+
+    This general version is a [B, P, n_fft] gather from [B, T] — correct
+    for ANY pos/length (including head reflection on sub-window clips)
+    but slow on TPU (measured ~14 ms @ B=128/T=64000: the broadcast
+    gather reads HBM essentially element-wise). The pipeline batches
+    (every clip >= 0.5 s) take _boundary_frames_fast instead."""
     B, T = wave.shape
     starts = pos * hop - n_fft // 2                       # clip coordinates
     idx = starts[..., None] + jnp.arange(n_fft)[None, None, :]
@@ -96,9 +102,59 @@ def _boundary_frames_mag(wave: Array, length: Array, pos: Array,
     over = idx - (length[:, None, None] - 1)
     idx = jnp.where(over > 0, (length[:, None, None] - 1) - over, idx)
     idx = jnp.clip(idx, 0, T - 1)
-    frames = jnp.take_along_axis(
+    return jnp.take_along_axis(
         jnp.broadcast_to(wave[:, None, :], (B, pos.shape[1], T)), idx,
         axis=2)
+
+
+def _boundary_frames_fast(wave: Array, length: Array,
+                          *, n_fft: int, hop: int, P: int) -> Array:
+    """Exact fast path for the LAST P centered frame positions
+    (pos[i] = n_c - P + i): two per-row dynamic slices + a select instead
+    of the [B, P, T] gather.
+
+    Derivation (r = L mod hop, base = L - r - n_fft): frame i's clip
+    coordinates start at base + i*hop, so all P frames are STATIC slices
+    of one window ext[0:W), W = n_fft + (P-1)*hop, where
+    ext[u] = x[base + u] for base + u < L (straight) and the clip-end
+    reflection x[2L - 2 - (base + u)] otherwise. The reflected values are
+    themselves one contiguous ASCENDING slice read at L + r - (P-1)*hop - 1
+    and reversed. Exact whenever L >= n_fft + P*hop (no head reflection
+    reachable, all slice starts in range) — the caller lax.cond-gates on
+    that predicate; the pipeline's 0.5 s minimum clip always satisfies it.
+    Returns [B, P, n_fft]."""
+    B, T = wave.shape
+    W = n_fft + (P - 1) * hop
+    wave_p = jnp.pad(wave, [(0, 0)] * (wave.ndim - 1) + [(0, n_fft + hop)])
+    r = length % hop
+    base = length - r - n_fft
+    s_refl = length + r - (P - 1) * hop - 1
+
+    def row(wp, b, s):
+        straight = jax.lax.dynamic_slice(wp, (b,), (W,))
+        refl = jax.lax.dynamic_slice(wp, (s,), (W,))[::-1]
+        return straight, refl
+
+    straight, refl = jax.vmap(row)(wave_p, base, s_refl)
+    u = jnp.arange(W)[None, :]
+    ext = jnp.where(u < (r + n_fft)[:, None], straight, refl)     # [B, W]
+    return jnp.stack([ext[:, i * hop:i * hop + n_fft] for i in range(P)],
+                     axis=1)
+
+
+def _boundary_frames_mag(wave: Array, length: Array, pos: Array,
+                         *, n_fft: int, hop: int) -> Array:
+    """Magnitudes of the centered frames crossing each clip's valid end:
+    fast slice path when every row is long enough (the pipeline case),
+    general gather otherwise. [B, P, n_fft//2 + 1]."""
+    P = pos.shape[1]
+    long_enough = jnp.all(length >= n_fft + P * hop)
+    frames = jax.lax.cond(
+        long_enough,
+        lambda w, l, p: _boundary_frames_fast(w, l, n_fft=n_fft, hop=hop,
+                                              P=P),
+        lambda w, l, p: _boundary_frames(w, l, p, n_fft=n_fft, hop=hop),
+        wave, length, pos)
     win = jnp.asarray(sp.hann_window(n_fft))
     re, im = sp.framed_rfft(frames * win)
     return jnp.sqrt(re * re + im * im)

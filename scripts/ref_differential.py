@@ -59,12 +59,29 @@ REF_TRAIN = "/root/reference/src/train.py"
 
 SR = 16000
 # 48 clips ~= 20 min end-to-end on this CPU; REF_DIFF_CLIPS trims it for
-# the pytest smoke wrapper (tests/test_reference_scripts.py)
+# the pytest smoke wrapper (tests/test_reference_scripts.py); the round-5
+# driver artifact runs REF_DIFF_CLIPS=128
 N_CLIPS = int(os.environ.get("REF_DIFF_CLIPS", "48"))
 
+# Deliberate gate-decision spread (VERDICT r4 #7): most clips ACCEPT (the
+# interesting full-stack path), plus every other reachable gate verdict so
+# the differential also pins the policy boundaries: SNR in [5,10) and
+# music_prob > 0.2 -> 'uncertain'; speech_prob < 0.4 and clipping > 30%
+# -> 'reject'. Quotas are i mod 16 so any N keeps roughly the same mix.
+GATE_CATS = (("accept",) * 10 + ("uncertain_snr",) * 2
+             + ("uncertain_music",) * 2 + ("reject_speech", "reject_clip"))
+EXPECTED_DECISION = {"accept": 2, "uncertain_snr": 1, "uncertain_music": 1,
+                     "reject_speech": 0, "reject_clip": 0}
 
-def _synth_clip(rng: np.random.Generator, i: int) -> np.ndarray:
-    """A clip the reference's own gate policy ACCEPTS (no-text mode):
+
+def _gate_cat(i: int) -> str:
+    return GATE_CATS[i % len(GATE_CATS)]
+
+
+def _synth_clip(rng: np.random.Generator, i: int,
+                cat: str = "accept") -> np.ndarray:
+    """A clip engineered to a chosen verdict of the reference's own gate
+    policy (no-text mode). The 'accept' construction:
 
     speech_prob: energy VAD threshold is 30th-pct + 0.1*std, so no more
     than ~70% of frames can exceed it pre-smoothing — >= 0.8 is reachable
@@ -74,25 +91,50 @@ def _synth_clip(rng: np.random.Generator, i: int) -> np.ndarray:
     snr: quiet final 10% (the reference's noise estimate reads only the
     LAST 10% of frames — its first-10% average is overwritten,
     quality_gates.py:196-199). music_prob = centroid/4000 stays < 0.2 by
-    keeping energy low-frequency. No clipping."""
+    keeping energy low-frequency. No clipping.
+
+    Category twists (each flips exactly one policy clause; every category
+    keeps the HPF/denoise conditioning branches unfired so the documented
+    filtfilt-vs-|H|² divergence stays out of the comparison — non-accept
+    clips are zeroed before conditioning in both frameworks anyway):
+      uncertain_snr:   loud tail -> SNR targeted into [5, 10)
+      uncertain_music: f0 ~1.3-1.5 kHz -> centroid/4000 > 0.2
+      reject_speech:   105 ms dips every 150 ms -> runs of ~10 low VAD
+                       frames median-5 cannot fill -> speech_prob < 0.4
+      reject_clip:     hard-clipped sine -> >30% samples at the rails"""
     dur = 2.0 + 0.1 * (i % 6)                        # 2.0 .. 2.5 s
     T = int(SR * dur)
     t = np.arange(T) / SR
+    if cat == "reject_clip":
+        x = np.clip(1.5 * np.sin(2 * np.pi * 500.0 * t), -0.5, 0.5)
+        x += 2e-4 * rng.standard_normal(T)
+        head = int(0.02 * T)
+        x[:head] *= np.linspace(0, 1, head)
+        return np.clip(x, -0.95, 0.95).astype(np.float32)
     # f0 >= 430 Hz keeps sub-200 Hz energy ~0 so the reference's HPF
     # decision (low-freq ratio > 0.2, audio_conditioning.py:108-121) does
     # NOT fire — its filtfilt IIR vs our zero-phase |H|^2 realization is a
     # documented divergence (PARITY.md) that would otherwise dominate the
     # differential's deltas; <= ~640 Hz keeps music_prob = centroid/4000
     # under the 0.2 'uncertain' threshold
-    f0 = 430.0 + 25.0 * (i % 7)
+    if cat == "uncertain_music":
+        f0 = 1300.0 + 50.0 * (i % 5)                 # centroid/4000 > 0.2
+    else:
+        f0 = 430.0 + 25.0 * (i % 7)
     carrier = (0.9 * np.sin(2 * np.pi * f0 * t)
                + 0.1 * np.sin(2 * np.pi * 2.0 * f0 * t + 0.7))
     # 30 ms dips every 90 ms: each dip fully covers 1-2 VAD frames (25 ms
     # window / 10 ms hop), isolated runs <= 2 that median-5 FILLS —
     # raising post-smoothing speech_prob to ~0.85 while the pre-smoothing
     # fraction stays at the percentile-bound ~0.70
-    phase = (t * 1000.0) % 90.0
-    env = np.where(phase < 30.0, 0.02, 1.0)
+    if cat == "reject_speech":
+        # dips long enough (~10 frames) that median-5 cannot fill them:
+        # only ~30% of frames stay above the 30th-pct+0.1σ threshold
+        phase = (t * 1000.0) % 150.0
+        env = np.where(phase < 105.0, 0.02, 1.0)
+    else:
+        phase = (t * 1000.0) % 90.0
+        env = np.where(phase < 30.0, 0.02, 1.0)
     k = int(SR * 0.005)                              # 5 ms raised-cosine
     win = np.hanning(k)
     win /= win.sum()
@@ -101,7 +143,9 @@ def _synth_clip(rng: np.random.Generator, i: int) -> np.ndarray:
     x += 2e-4 * rng.standard_normal(T)               # tiny noise floor
     tail = int(0.13 * T)                             # quiet tail: the SNR
     ramp = np.ones(T)                                # noise estimate reads
-    ramp[-tail:] = 0.02                              # only the LAST 10% of
+    # uncertain_snr: a LOUD broadband tail puts the edge-frame SNR inside
+    # the policy's [5, 10) 'uncertain' band instead of high above it
+    ramp[-tail:] = 0.45 if cat == "uncertain_snr" else 0.02
     rk = int(SR * 0.004)                             # frames
     rw = np.hanning(rk)
     rw /= rw.sum()

@@ -615,6 +615,84 @@ def test_estimate_snr_matches_librosa_math_on_unpadded_clip():
         assert abs(got - got2) < 1e-5
 
 
+def test_boundary_frames_fast_equals_gather():
+    """The slice-based boundary-frame fast path must equal the general
+    gather path bit-for-bit wherever its predicate holds (every row
+    length >= n_fft + P*hop), including the edge lengths: exactly at the
+    predicate, multiple-of-hop lengths, and unpadded rows (L == T)."""
+    n_fft, hop, P = 2048, 512, 3
+    rng = np.random.default_rng(99)
+    T = 16000
+    lengths = np.array([n_fft + P * hop,       # predicate boundary
+                        8192,                  # L % hop == 0
+                        8191, 9473, T])        # odd remainders + unpadded
+    wave = rng.standard_normal((len(lengths), T)).astype(np.float32)
+    wave *= (np.arange(T)[None, :] < lengths[:, None])
+    wave_j = jnp.asarray(wave)
+    L = jnp.asarray(lengths, jnp.int32)
+    n_c = 1 + L // hop
+    pos = n_c[:, None] - (P - jnp.arange(P))[None, :]
+    fast = np.asarray(qg._boundary_frames_fast(wave_j, L, n_fft=n_fft,
+                                               hop=hop, P=P))
+    gather = np.asarray(qg._boundary_frames(wave_j, L, pos, n_fft=n_fft,
+                                            hop=hop))
+    np.testing.assert_array_equal(fast, gather)
+
+
+def test_noise_type_categories_match_reference_thresholds():
+    """detect_noise_type pins the reference's band-ratio rules
+    (audio_conditioning.py:169-197): one signal per category plus the
+    silent 'unknown' fallback, each cross-checked against a direct
+    scipy.signal.welch re-statement of the reference's math."""
+    rng = np.random.default_rng(5)
+    T = SR
+    t = np.arange(T) / SR
+
+    def tone(f, a=1.0):
+        return (a * np.sin(2 * np.pi * f * t)).astype(np.float32)
+
+    cases = {
+        cond.NOISE_LOW_FREQ: tone(200.0),
+        cond.NOISE_HIGH_FREQ: tone(6000.0),
+        cond.NOISE_MID_FREQ: tone(1000.0),
+        # spread below every trigger: low<=0.5, high<=0.4, mid<=0.6
+        cond.NOISE_WHITE: tone(300, 0.9) + tone(1000, 0.9) + tone(3000, 0.8),
+        cond.NOISE_UNKNOWN: np.zeros(T, np.float32),
+    }
+    sigs = list(cases.values())
+    wave, mask = padded_batch(sigs, T_pad=T)
+    got = np.asarray(cond.detect_noise_type(wave, mask, sample_rate=SR))
+    assert list(got) == list(cases.keys()), got
+
+    # cross-check vs the reference's verbatim math (scipy welch)
+    for sig, want in zip(sigs, cases.keys()):
+        freqs, psd = sps.welch(sig, fs=SR, nperseg=1024)
+        low = psd[freqs < 500].sum()
+        mid = psd[(freqs >= 500) & (freqs < 2000)].sum()
+        high = psd[freqs >= 2000].sum()
+        total = low + mid + high
+        if total > 0:
+            ref = (cond.NOISE_LOW_FREQ if low / total > 0.5 else
+                   cond.NOISE_HIGH_FREQ if high / total > 0.4 else
+                   cond.NOISE_MID_FREQ if mid / total > 0.6 else
+                   cond.NOISE_WHITE)
+        else:
+            ref = cond.NOISE_UNKNOWN
+        assert ref == want, (want, ref)
+
+
+def test_condition_audio_reports_noise_type():
+    wave, mask = padded_batch([speech_like(SR, 2), speech_like(SR, 3)],
+                              T_pad=SR)
+    _, stats = cond.condition_audio(wave, mask, sample_rate=SR)
+    codes = np.asarray(stats.noise_type)
+    assert codes.shape == (2,)
+    assert all(0 <= c < len(cond.NOISE_TYPES) for c in codes)
+    report = cond.conditioning_report(stats, 0)
+    assert "Noise Type: " + cond.NOISE_TYPES[codes[0]] in report
+    assert "SNR Before" in report
+
+
 def test_rms_frames_no_cancellation_on_long_clips():
     # A global f32 cumsum of squares over 30 s of near-full-scale audio
     # reaches ~2e5; differencing it for a digitally-silent frame used to
