@@ -40,6 +40,11 @@ def main():
     p.add_argument("--grad_accum", type=int, default=1,
                    help="microbatches per optimizer step (batch_size stays "
                         "the effective batch; bounds activation memory)")
+    p.add_argument("--backbone_moment_dtype", default=None,
+                   choices=[None, "bfloat16", "float32"],
+                   help="AdamW first-moment dtype for the audio/text "
+                        "backbone groups (bfloat16 halves mu HBM when "
+                        "fine-tuning unfrozen; heads stay f32)")
     p.add_argument("--early_stop_patience", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dataset_root", type=str, default="datasets")
@@ -130,6 +135,7 @@ def main():
         resume_from=args.resume_from, scheduler=args.scheduler,
         grad_clip=args.grad_clip, seed=args.seed,
         grad_accum=args.grad_accum,
+        backbone_moment_dtype=args.backbone_moment_dtype,
         supcon_weight=args.supcon_weight,
         early_stop_patience=args.early_stop_patience)
     num_labels = args.num_labels

@@ -159,6 +159,11 @@ class TrainConfig:
     # bounds activation memory at large effective batches — batch_size
     # stays the effective batch, must be divisible by grad_accum
     grad_accum: int = 1
+    # store the audio/text backbone groups' AdamW first moment in this
+    # dtype ("bfloat16" halves the dominant mu memory when fine-tuning
+    # unfrozen; optax has no nu_dtype, the second moment stays f32).
+    # None keeps f32 everywhere.
+    backbone_moment_dtype: Optional[str] = None
     seed: int = 0
     # loss mix (train.py:151-168)
     focal_weight: float = 0.3

@@ -262,7 +262,7 @@ def _run_academic_evaluation(params, cfg: Config, ds, loader, tok, mesh, *,
                              code_mix_languages, zero_shot_languages,
                              open_set_unknown_class, batch_size,
                              verbose) -> Dict:
-    # per-part wall-clock (docs/ACADEMIC_TPU_r04.json records the on-TPU
+    # per-part wall-clock (docs/ACADEMIC_TPU_r05.json records the on-TPU
     # timings; the battery's cost profile is itself a deliverable)
     import time as _time
     part_seconds: Dict[str, float] = {}

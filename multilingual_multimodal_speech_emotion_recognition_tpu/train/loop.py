@@ -165,7 +165,9 @@ def train(cfg: Config, *, train_manifest: str, val_manifest: str,
         warmup_ratio=tcfg.warmup_ratio, scheduler=tcfg.scheduler,
         restart_steps=steps_per_epoch * tcfg.restart_period_epochs,
         freeze_backbones=tcfg.freeze_backbones,
-        grad_clip=tcfg.grad_clip)
+        grad_clip=tcfg.grad_clip,
+        backbone_moment_dtype=(jnp.dtype(tcfg.backbone_moment_dtype)
+                               if tcfg.backbone_moment_dtype else None))
     opt_state = tx.init(params)
 
     start_epoch, global_step = 0, 0

@@ -116,13 +116,24 @@ def param_labels(params: dict, *, freeze_backbones: bool = True) -> dict:
 
 def build_optimizer(params: dict, base_schedule_factory: Callable[[float], Callable],
                     *, freeze_backbones: bool = True,
-                    grad_clip: Optional[float] = None) -> optax.GradientTransformation:
+                    grad_clip: Optional[float] = None,
+                    backbone_moment_dtype=None) -> optax.GradientTransformation:
     """base_schedule_factory(scaled_base_lr) -> schedule fn. Each group gets
-    its own adamw with the reference's lr multiplier and weight decay."""
+    its own adamw with the reference's lr multiplier and weight decay.
+
+    backbone_moment_dtype (e.g. jnp.bfloat16): store the audio/text
+    backbone groups' FIRST AdamW moment in that dtype (optax mu_dtype —
+    the second moment stays f32; optax exposes no nu_dtype). An unfrozen-
+    fine-tune HBM lever: the ~370 M backbone params dominate the moment
+    memory, and mu tolerates bf16 (it is a smooth EMA re-read through the
+    f32 update math each step). Head groups always keep f32 moments."""
     transforms = {"frozen": optax.set_to_zero()}
     for name, (mult, wd) in GROUPS.items():
+        mu_dtype = (backbone_moment_dtype if name in ("audio", "text")
+                    else None)
         transforms[name] = optax.adamw(
-            learning_rate=base_schedule_factory(mult), weight_decay=wd)
+            learning_rate=base_schedule_factory(mult), weight_decay=wd,
+            mu_dtype=mu_dtype)
     labels = param_labels(params, freeze_backbones=freeze_backbones)
     tx = optax.multi_transform(transforms, labels)
     if grad_clip is not None:
@@ -135,7 +146,8 @@ def make_train_optimizer(params: dict, *, lr: float, total_steps: int,
                          scheduler: str = "warmup_cosine",
                          restart_steps: int = 0,
                          freeze_backbones: bool = True,
-                         grad_clip: Optional[float] = None):
+                         grad_clip: Optional[float] = None,
+                         backbone_moment_dtype=None):
     if scheduler == "warmup_cosine":
         factory = lambda mult: warmup_cosine_schedule(
             lr * mult, total_steps, warmup_ratio)
@@ -146,4 +158,5 @@ def make_train_optimizer(params: dict, *, lr: float, total_steps: int,
     else:
         raise ValueError(f"unknown scheduler {scheduler!r}")
     return build_optimizer(params, factory, freeze_backbones=freeze_backbones,
-                           grad_clip=grad_clip)
+                           grad_clip=grad_clip,
+                           backbone_moment_dtype=backbone_moment_dtype)

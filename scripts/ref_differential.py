@@ -53,6 +53,8 @@ from pathlib import Path
 import numpy as np
 
 REPO = Path(__file__).resolve().parent.parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
 BOOTSTRAP = REPO / "tests" / "refenv" / "bootstrap.py"
 REF_EVAL = "/root/reference/src/eval.py"
 REF_TRAIN = "/root/reference/src/train.py"
@@ -181,12 +183,13 @@ def synth_dataset(workdir: Path) -> None:
     rng = np.random.default_rng(42)
     rows6, rows4 = [], []
     for i in range(N_CLIPS):
-        x = _synth_clip(rng, i)
+        cat = _gate_cat(i)
+        x = _synth_clip(rng, i, cat)
         name = f"clip_{i:03d}.wav"
         _write_wav(audio_dir / name, x)
         label6 = i % 6
         row = {"audio": f"crema/{name}", "text": TEXTS[label6],
-               "label": label6, "dataset": "crema"}
+               "label": label6, "dataset": "crema", "gate_cat": cat}
         rows6.append(row)
         if label6 < 4:
             rows4.append({**row, "label": label6})
@@ -201,8 +204,9 @@ def synth_dataset(workdir: Path) -> None:
 
 
 def check_gate_decisions(workdir: Path) -> None:
-    """Pre-flight: the native frontend must ACCEPT every clip in no-text
-    mode (the whole point of the synthesis); prints the margins."""
+    """Pre-flight: every clip must land on ITS ENGINEERED gate verdict in
+    no-text mode (EXPECTED_DECISION per gate_cat — VERDICT r4 #7's
+    deliberate decision spread); prints the margins."""
     import jax
     jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
@@ -234,9 +238,19 @@ def check_gate_decisions(workdir: Path) -> None:
           f"[{np.asarray(st.snr_db).min():.1f},"
           f"{np.asarray(st.snr_db).max():.1f}] music<="
           f"{np.asarray(st.music_prob).max():.3f}")
-    if not (dec == qg.ACCEPT).all():
-        raise SystemExit("synthesized clips must all be ACCEPT in no-text "
-                         "mode; adjust _synth_clip")
+    expected = np.asarray([EXPECTED_DECISION[r.get("gate_cat", "accept")]
+                           for r in rows])
+    bad = np.nonzero(dec != expected)[0]
+    if bad.size:
+        for b in bad[:8]:
+            print(f"  clip {b} cat={rows[b].get('gate_cat')}: got {dec[b]} "
+                  f"want {expected[b]} (speech="
+                  f"{float(np.asarray(st.speech_prob)[b]):.3f} snr="
+                  f"{float(np.asarray(st.snr_db)[b]):.1f} music="
+                  f"{float(np.asarray(st.music_prob)[b]):.3f} clip%="
+                  f"{float(np.asarray(st.clipping_percent)[b]):.1f})")
+        raise SystemExit("synthesized clips missed their engineered gate "
+                         "verdicts; adjust _synth_clip")
 
 
 def run_bootstrap(script: str, args: list[str], workdir: Path,
@@ -246,7 +260,9 @@ def run_bootstrap(script: str, args: list[str], workdir: Path,
         shutil.rmtree(out)
     out.mkdir(parents=True)
     env = dict(os.environ, REF_DIFF_OUT=str(out),
-               PYTHONDONTWRITEBYTECODE="1")
+               PYTHONDONTWRITEBYTECODE="1",
+               PYTHONPATH=str(REPO) + os.pathsep
+               + os.environ.get("PYTHONPATH", ""))
     cmd = [sys.executable, str(BOOTSTRAP), script] + args
     r = subprocess.run(cmd, cwd=workdir, env=env, capture_output=True,
                        text=True, timeout=3600)
@@ -311,7 +327,12 @@ def compare(tag: str, ref_labels, ref_preds, our, ref_f1=None,
     print(f"[{tag}] {'OK' if ok else 'FAIL'}: agreement={agree:.4f} "
           f"F1 ref={f1_ref:.4f} ours={f1_ours:.4f}")
     if results is not None:
+        n = len(list(ref_preds))
+        uniq, cnt = np.unique(np.asarray(our["labels"]), return_counts=True)
         results[tag] = {"ok": bool(ok), "agreement": float(agree),
+                        "n": n, "n_agree": int(round(agree * n)),
+                        "label_counts": {int(u): int(c)
+                                         for u, c in zip(uniq, cnt)},
                         "f1_ref": float(f1_ref), "f1_ours": float(f1_ours)}
 
 

@@ -9,7 +9,7 @@ Pipeline (all through the public CLIs, one TPU job at a time):
   3. run cli/academic_eval.py with every part on (8 parts + per-SNR +
      zero-shot hi/bn/te + leave-one-class-out open-set), on the TPU;
   4. copy the JSON report (incl. per-part wall-clock, eval/academic.py
-     part_seconds) to docs/ACADEMIC_TPU_r04.json.
+     part_seconds) to docs/ACADEMIC_TPU_r05.json.
 
 usage: python scripts/tpu_academic_battery.py [--workdir /tmp/acad]
 """
@@ -123,7 +123,7 @@ def main() -> None:
     rep = json.loads(reports[-1].read_text())
     rep["_battery_wall_seconds"] = round(wall, 1)
     rep["_checkpoint"] = str(best)
-    dest = REPO / "docs" / "ACADEMIC_TPU_r04.json"
+    dest = REPO / "docs" / "ACADEMIC_TPU_r05.json"
     dest.write_text(json.dumps(rep, indent=2))
     print(f"report -> {dest}")
     print(json.dumps({"battery_wall_s": rep["_battery_wall_seconds"],

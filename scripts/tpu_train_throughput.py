@@ -74,12 +74,16 @@ def main():
         np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
         return (time.perf_counter() - t0) / ITERS
 
-    def bench(B, *, precomputed, freeze, remat=True):
+    def bench(B, *, precomputed, freeze, remat=True, accum=1,
+              moment_dtype=None):
         import dataclasses
         mcfg = dataclasses.replace(cfg, remat_encoders=remat)
-        tcfg = TrainConfig(augment=False, freeze_backbones=freeze)
-        tx = opt_lib.make_train_optimizer(params, lr=2e-4, total_steps=100,
-                                          freeze_backbones=freeze)
+        tcfg = TrainConfig(augment=False, freeze_backbones=freeze,
+                           grad_accum=accum)
+        tx = opt_lib.make_train_optimizer(
+            params, lr=2e-4, total_steps=100, freeze_backbones=freeze,
+            backbone_moment_dtype=(jnp.dtype(moment_dtype)
+                                   if moment_dtype else None))
         opt_state = tx.init(params)
         step = ts.make_train_step(mcfg, tcfg, tx, donate=False)
         batch = make_batch(B, precomputed)
@@ -88,13 +92,15 @@ def main():
             dt = timed(lambda p, s: step(p, s, batch, key), params, opt_state)
         except Exception as e:  # XlaRuntimeError: RESOURCE_EXHAUSTED etc.
             print(json.dumps({"batch": B, "frozen_backbones": freeze,
-                              "remat": str(remat),
+                              "remat": str(remat), "grad_accum": accum,
+                              "moment_dtype": moment_dtype,
                               "error": type(e).__name__,
                               "msg": str(e)[:120]}), flush=True)
             return
         row = {"batch": B,
                "feats": "precomputed" if precomputed else "in-step DSP",
                "frozen_backbones": freeze, "remat": str(remat),
+               "grad_accum": accum, "moment_dtype": moment_dtype,
                "step_ms": round(dt * 1e3, 2),
                "utt_per_sec": round(B / dt, 1),
                "clip_seconds": SECONDS}
@@ -112,10 +118,22 @@ def main():
                         if a.startswith("--policies=")), "full,dots,none")
         b_arg = next((a.split("=", 1)[1] for a in sys.argv
                       if a.startswith("--batches=")), "16,32,64")
+        # VERDICT r4 item 8 memory levers: --accums=1,2 splits each batch
+        # into microbatches (effective batch unchanged); --moments=bf16
+        # stores backbone AdamW mu in bf16 (train/optimizer.py)
+        a_arg = next((a.split("=", 1)[1] for a in sys.argv
+                      if a.startswith("--accums=")), "1")
+        m_arg = next((a.split("=", 1)[1] for a in sys.argv
+                      if a.startswith("--moments=")), "f32")
         pol_map = {"full": True, "dots": "dots", "none": False}
+        mom_map = {"f32": None, "bf16": "bfloat16"}
         for pol in pol_arg.split(","):
-            for B in (int(x) for x in b_arg.split(",")):
-                bench(B, precomputed=True, freeze=False, remat=pol_map[pol])
+            for acc in (int(x) for x in a_arg.split(",")):
+                for mom in m_arg.split(","):
+                    for B in (int(x) for x in b_arg.split(",")):
+                        bench(B, precomputed=True, freeze=False,
+                              remat=pol_map[pol], accum=acc,
+                              moment_dtype=mom_map[mom])
         return
 
     for B in (16, 32, 64, 128):

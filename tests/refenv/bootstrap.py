@@ -60,6 +60,9 @@ SEED = 1234
 def _install_shims() -> None:
     sys.path.insert(0, str(HERE / "shims"))
     sys.path.insert(0, REF_SRC)
+    # the repo root: the shims borrow small native pieces (HashTokenizer,
+    # WAV IO) and must work without the package pip-installed
+    sys.path.insert(0, str(HERE.parent.parent))
 
 
 def _patch_transformers() -> None:

@@ -225,3 +225,42 @@ def test_consistency_gate_is_per_optimizer_batch_under_accum():
         assert losses[0.5] in (losses[0.0], losses[1.0])
         saw.add(losses[0.5] == losses[1.0])
     assert saw == {True, False}  # both coin outcomes observed across seeds
+
+
+def test_backbone_moment_dtype_bf16_targets_backbones_only():
+    """backbone_moment_dtype=bfloat16 stores the audio/text groups' AdamW
+    first moment in bf16 while head groups keep f32 (train/optimizer.py);
+    the step still runs and updates heads."""
+    cfg = tiny_config()
+    tcfg = TrainConfig(epochs=1, freeze_backbones=False,
+                       backbone_moment_dtype="bfloat16")
+    params = mdl.init_model(jax.random.key(0), cfg)
+    tx = opt_lib.make_train_optimizer(
+        params, lr=1e-3, total_steps=10, freeze_backbones=False,
+        backbone_moment_dtype=jnp.bfloat16)
+    opt_state = tx.init(params)
+
+    # multi_transform inner states: {group: chained adamw state}
+    inner = opt_state.inner_states
+    def mu_dtypes(group):
+        st = inner[group].inner_state
+        return {str(l.dtype) for l in jax.tree.leaves(st[0].mu)}
+    assert mu_dtypes("audio") == {"bfloat16"}
+    assert mu_dtypes("text") == {"bfloat16"}
+    for head in ("mid", "deep", "anchor", "proto", "uncertainty"):
+        assert mu_dtypes(head) == {"float32"}, head
+    # nu stays f32 everywhere (optax exposes no nu_dtype)
+    nus = jax.tree.leaves(inner["audio"].inner_state[0].nu)
+    assert {str(l.dtype) for l in nus} == {"float32"}
+
+    step = ts.make_train_step(cfg, tcfg, tx, donate=False)
+    batch = _with_labels(tiny_batch())
+    p1, s1, m1 = step(params, opt_state, batch, jax.random.key(1))
+    p1, s1, m1 = step(p1, s1, batch, jax.random.key(2))
+    assert np.isfinite(float(m1.loss))
+    changed = jax.tree.reduce(
+        lambda a, b: a or b,
+        jax.tree.map(lambda a, b: not np.allclose(np.asarray(a),
+                                                  np.asarray(b)),
+                     params["audio_backbone"], p1["audio_backbone"]))
+    assert changed  # unfrozen backbones actually train under bf16 mu
