@@ -130,10 +130,13 @@ def _synth_clip(rng: np.random.Generator, i: int,
     # raising post-smoothing speech_prob to ~0.85 while the pre-smoothing
     # fraction stays at the percentile-bound ~0.70
     if cat == "reject_speech":
-        # dips long enough (~10 frames) that median-5 cannot fill them:
-        # only ~30% of frames stay above the 30th-pct+0.1σ threshold
+        # dips long enough (~11 frames) that median-5 cannot fill them:
+        # ~23% duty above the 30th-pct+0.1σ threshold. 115/150 ms keeps the
+        # worst index at speech_prob 0.344 (105 ms grazed the 0.4 policy
+        # line at 0.402 for the dur=2.4 s indices — measured over all
+        # i%16==14 in [0,128))
         phase = (t * 1000.0) % 150.0
-        env = np.where(phase < 105.0, 0.02, 1.0)
+        env = np.where(phase < 115.0, 0.02, 1.0)
     else:
         phase = (t * 1000.0) % 90.0
         env = np.where(phase < 30.0, 0.02, 1.0)
