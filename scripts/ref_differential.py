@@ -24,15 +24,26 @@ Faithful-mode mapping (each a documented reference behavior):
                                          torch-PRNG noise no cross-
                                          framework run can bit-match
 
-The synthetic clips are designed to pass the reference's own gate policy
-(librosa VAD speech_prob >= 0.8 requires the median-5 smoothing to fill
-periodic sub-3-frame envelope dips — see _synth_clip; SNR >= 10 via a
-quiet tail), so real audio flows through BOTH frameworks' full encoder
-stacks in plain-eval mode. With texts present ('--use_tta' path / the
-train loop) the reference's LID entropy wall (>= 1.5 for any non-empty
+The synthetic clips are engineered to a deliberate gate-verdict SPREAD
+(GATE_CATS: ~62% accept, 25% uncertain via SNR-in-[5,10) or
+music_prob>0.2, 12% reject via speech_prob<0.4 or clipping>30% — the
+preflight asserts every clip lands on its engineered verdict). Accepts
+flow real audio through BOTH frameworks' full encoder stacks in
+plain-eval mode (librosa VAD speech_prob >= 0.8 requires the median-5
+smoothing to fill periodic sub-3-frame envelope dips — see _synth_clip;
+SNR >= 10 via a quiet tail). With texts present ('--use_tta' path / the
+train loops) the reference's LID entropy wall (>= 1.5 for any non-empty
 text) makes every clip 'uncertain' -> zeroed on both sides; the
 differential still covers gates features, conditioning, text encoding,
 heads, OpenMax, TTA composition and reporting on that path.
+
+Beyond eval.py, the harness runs the reference's trainers end to end
+under the bootstrap and asserts our import+eval reproduces each one's
+deterministic validation verdict: src/train.py (train_* stages),
+train_crema.py (crema_* — the 6-class M3-stabilized headline trainer)
+and src/train_crema_final.py (final_* — the consistency-augmentation CE
+trainer; runnable only with the bootstrap's np.float64 weighted_f1
+return, see PARITY.md).
 
 usage:
   python scripts/ref_differential.py --workdir /tmp/refdiff
@@ -339,6 +350,35 @@ def compare(tag: str, ref_labels, ref_preds, our, ref_f1=None,
                         "f1_ref": float(f1_ref), "f1_ours": float(f1_ours)}
 
 
+def _val_windows(capture_dir: Path, val_labels: list) -> list:
+    """Reconstruct per-epoch validation windows from a trainer's
+    weighted_f1 capture stream: each val pass is a maximal run of
+    consecutive batch records whose concatenated labels tile the val
+    manifest in order (train batches are shuffled, so an accidental
+    full-sequence match is vanishingly unlikely)."""
+    recs = read_capture(capture_dir, "weighted_f1")
+    windows = []
+    i = 0
+    while i < len(recs):
+        labels_cat, preds_cat, f1s = [], [], []
+        j = i
+        while j < len(recs) and labels_cat != val_labels:
+            labels_cat += recs[j]["labels"]
+            preds_cat += recs[j]["preds"]
+            f1s.append(recs[j]["f1"])
+            if len(labels_cat) > len(val_labels) or \
+                    labels_cat != val_labels[:len(labels_cat)]:
+                break
+            j += 1
+        if labels_cat == val_labels:
+            windows.append({"preds": preds_cat,
+                            "avg_f1": float(np.mean(f1s))})
+            i = j
+        else:
+            i += 1
+    return windows
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="/tmp/refdiff")
@@ -467,7 +507,8 @@ def main() -> None:
         compare("train4", rep["labels"], rep["preds"], our, results=results)
         (workdir / "DIFFERENTIAL_train.json").write_text(
             json.dumps(results, indent=2))
-        if not all(v["ok"] for v in results.values()):
+        if not all(v["ok"] for k, v in results.items()
+                   if not k.startswith("_")):
             raise SystemExit("train differential FAILED")
 
     # ----- train_crema.py differential: the reference's M3-stabilized
@@ -513,33 +554,10 @@ def main() -> None:
                  workdir, "crema_eval")
 
     if "crema_compare" in stages:
-        # reconstruct per-epoch val windows from the weighted_f1 capture:
-        # each val pass is a run of batches whose labels tile the val
-        # manifest in order (train batches are shuffled and 4-class... 6
-        # here, so match on the label sequence)
         val_rows = [json.loads(l) for l in
                     (workdir / "crema_val6.jsonl").read_text().splitlines()]
         val_labels = [r["label"] for r in val_rows]
-        recs = read_capture(workdir / "ref_crema_train", "weighted_f1")
-        windows = []
-        i = 0
-        while i < len(recs):
-            labels_cat, preds_cat, f1s = [], [], []
-            j = i
-            while j < len(recs) and labels_cat != val_labels:
-                labels_cat += recs[j]["labels"]
-                preds_cat += recs[j]["preds"]
-                f1s.append(recs[j]["f1"])
-                if len(labels_cat) > len(val_labels) or \
-                        labels_cat != val_labels[:len(labels_cat)]:
-                    break
-                j += 1
-            if labels_cat == val_labels:
-                windows.append({"preds": preds_cat,
-                                "avg_f1": float(np.mean(f1s))})
-                i = j
-            else:
-                i += 1
+        windows = _val_windows(workdir / "ref_crema_train", val_labels)
         if not windows:
             raise SystemExit("no val windows found in crema capture")
         # the reference keeps the FIRST epoch achieving the max avg F1
@@ -549,8 +567,64 @@ def main() -> None:
         compare("crema6", val_labels, best_w["preds"], our, results=results)
         (workdir / "DIFFERENTIAL_crema.json").write_text(
             json.dumps(results, indent=2))
-        if not all(v["ok"] for v in results.values()):
+        if not all(v["ok"] for k, v in results.items()
+                   if not k.startswith("_")):
             raise SystemExit("crema differential FAILED")
+
+    # ----- train_crema_final.py differential: the reference's consistency-
+    # augmentation CE trainer (src/train_crema_final.py:65-418; 4-class,
+    # dropout .25, label-smoothing .15 + 0.5*CB-focal + proto, cosine
+    # restarts T0=3 epochs). Its val loop is eval()-mode deterministic
+    # with use_openmax=True; --use_amp is store_true with default=True
+    # (uncancellable), so on CPU its val forward runs under torch bf16
+    # autocast — the import is compared at f32 (autocast only affects
+    # matmul precision; agreement is asserted on argmax predictions).
+    final_dir = workdir / "ckpts_final"
+    if "final_train" in stages:
+        run_bootstrap("/root/reference/src/train_crema_final.py",
+                      ["--train_manifest", "train4.jsonl",
+                       "--val_manifest", "val4.jsonl",
+                       "--epochs", "2", "--batch_size", "4",
+                       "--save_dir", str(final_dir)], workdir, "final_train")
+        print("train_crema_final.py complete:",
+              sorted(p.name for p in final_dir.glob("*.pt")))
+
+    imported_f = workdir / "imported_final"
+    if "final_import" in stages and not imported_f.exists():
+        best = sorted(final_dir.glob("best_crema_f1_*.pt"))
+        if not best:
+            raise SystemExit("run final_train first")
+        run_ours(["import_checkpoint.py", "--reference_checkpoint",
+                  str(best[-1]), "--out", str(imported_f),
+                  "--compute_dtype", "float32",
+                  "--audio_heads", "4", "--text_heads", "4",
+                  "--conv_stride", "5,4,4"], workdir, "final_import")
+
+    if "final_eval" in stages:
+        run_ours(["eval.py", "--checkpoint", str(imported_f),
+                  "--manifest", "val4.jsonl", "--dataset_root",
+                  str(workdir / "datasets"), "--platform", "cpu",
+                  "--batch_size", "4", "--zero_non_accept",
+                  "--predictions_out", str(workdir / "ours_final.jsonl")],
+                 workdir, "final_eval")
+
+    if "final_compare" in stages:
+        val_rows = [json.loads(l) for l in
+                    (workdir / "val4.jsonl").read_text().splitlines()]
+        val_labels = [r["label"] for r in val_rows]
+        windows = _val_windows(workdir / "ref_final_train", val_labels)
+        if not windows:
+            raise SystemExit("no val windows found in final capture")
+        # strict > improvement test -> FIRST epoch achieving the max
+        # (train_crema_final.py:373-400)
+        best_w = max(windows, key=lambda w: w["avg_f1"])
+        our = read_our_preds(workdir / "ours_final.jsonl")
+        compare("final4", val_labels, best_w["preds"], our, results=results)
+        (workdir / "DIFFERENTIAL_final.json").write_text(
+            json.dumps(results, indent=2))
+        if not all(v["ok"] for k, v in results.items()
+                   if not k.startswith("_")):
+            raise SystemExit("crema_final differential FAILED")
 
     if "compare" in stages:
         for tag, ref_dir, ours_file in (
@@ -574,9 +648,19 @@ def main() -> None:
               f"ref={t_ref:.3f} ours={t_ours:.3f}")
         results["temperature"] = {"ok": bool(t_ok), "ref": t_ref,
                                   "ours": t_ours}
+        # record the engineered decision spread (VERDICT r4 #7): how many
+        # clips were synthesized to each gate verdict category
+        rows = [json.loads(l) for l in
+                (workdir / "val6.jsonl").read_text().splitlines()]
+        cats: dict = {}
+        for r in rows:
+            c = r.get("gate_cat", "accept")
+            cats[c] = cats.get(c, 0) + 1
+        results["_meta"] = {"n_clips": len(rows), "gate_categories": cats}
         (workdir / "DIFFERENTIAL.json").write_text(
             json.dumps(results, indent=2))
-        if not all(v["ok"] for v in results.values()):
+        if not all(v["ok"] for k, v in results.items()
+                   if not k.startswith("_")):
             raise SystemExit("differential FAILED")
         print("differential PASSED")
 

@@ -174,7 +174,13 @@ def _install_capture(out_dir: Path) -> None:
         dump("weighted_f1", f1=float(v),
              preds=np.asarray(preds.cpu()).astype(int).tolist(),
              labels=np.asarray(labels.cpu()).astype(int).tolist())
-        return v
+        # np.float64, not float: sklearn >= 1.6 returns a plain Python
+        # float, but train_crema_final.py:310 calls `.item()` on the
+        # result (written against the older np.float64 return) — the
+        # script is unrunnable as shipped on this sklearn (1.9.0).
+        # Restoring the era-accurate scalar type is harness shimming,
+        # not a semantic change (documented in PARITY.md).
+        return np.float64(v)
 
     utils.weighted_f1 = f1_wrapped
 
