@@ -234,6 +234,13 @@ def run_academic_evaluation(params, cfg: Config, manifest: str, *,
                             verbose: bool = True) -> Dict:
     tok = tokenizer or get_tokenizer(vocab_size=cfg.model.text.vocab_size)
     mesh = mesh or mesh_lib.mesh_from_config(cfg.mesh)
+    # Place the (host-numpy, checkpoint-restored) params on the mesh ONCE.
+    # Without this every jitted call re-uploads the full param tree — on
+    # the relay that is ~145 s/call at 11 MB/s for the 1.6 GB flagship,
+    # and the staged transfer buffers accumulate on host (the battery was
+    # OOM-killed at 130 GB RSS before this fix). No-op for already-placed
+    # trees (device_put to the same sharding doesn't copy).
+    params = mesh_lib.shard_params(params, mesh)
     ds = SERDataset(manifest, cfg.data)
     loader = _BatchCache(BucketedLoader(ds, batch_size=batch_size,
                                         tokenizer=tok, shuffle=False))
@@ -273,6 +280,21 @@ def _run_academic_evaluation(params, cfg: Config, ds, loader, tok, mesh, *,
         now = _time.perf_counter()
         part_seconds[name] = round(now - _t0, 2)
         _t0 = now
+        if verbose:
+            # host RSS alongside per-part wall-clock: the battery's cost
+            # profile is a deliverable, and the RSS trace catches host-side
+            # leaks that a single end-of-run number would hide
+            rss = "?"
+            try:
+                with open("/proc/self/status") as f:
+                    for line in f:
+                        if line.startswith("VmRSS"):
+                            rss = f"{int(line.split()[1]) // 1024} MB"
+                            break
+            except OSError:
+                pass
+            print(f"[academic] {name}: {part_seconds[name]}s rss={rss}",
+                  flush=True)
 
     # 1. baseline pass (single forward, logits + probs)
     out = ev.collect_logits(params, cfg, loader, mesh, use_openmax=True)

@@ -136,6 +136,10 @@ def evaluate_manifest(params, cfg: Config, manifest: str, *,
                       mesh=None, verbose: bool = True) -> Dict:
     tok = tokenizer or get_tokenizer(vocab_size=cfg.model.text.vocab_size)
     mesh = mesh or mesh_lib.mesh_from_config(cfg.mesh)
+    # One-time placement of checkpoint-restored (host-numpy) params: else
+    # every per-batch jitted call re-uploads the full tree (relay: ~145 s
+    # and ~1.6 GB of staged host buffers PER CALL on the flagship).
+    params = mesh_lib.shard_params(params, mesh)
 
     optimal_temp = 1.0
     if calibrate and val_manifest:

@@ -53,6 +53,10 @@ class EmotionRecognitionInterface:
             # (ops/quant.py); heads/OpenMax numerics stay float
             from .ops import quant
             self.params = quant.quantize_backbones(self.params)
+        # one-time device placement: the restore gives host numpy, and a
+        # host-numpy tree passed to the jitted forward re-uploads ALL
+        # params on every predict call (relay: ~145 s/call on the flagship)
+        self.params = jax.device_put(self.params)
         self.tokenizer = tokenizer or get_tokenizer(
             vocab_size=self.cfg.model.text.vocab_size)
         # calibration persisted by `cli/eval.py --calibrate
