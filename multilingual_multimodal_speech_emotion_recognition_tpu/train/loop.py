@@ -349,6 +349,23 @@ def train(cfg: Config, *, train_manifest: str, val_manifest: str,
             "preempted": False}
 
 
+def phase2_grad_accum(batch_size: int, grad_accum: int,
+                      max_microbatch: int = 64) -> int:
+    """Smallest grad_accum >= the configured one that divides batch_size
+    and keeps the UNFROZEN microbatch <= max_microbatch.
+
+    The unfrozen flagship step OOMs the v5e at a monolithic microbatch of
+    128 but runs at microbatch 64; splitting an effective B=128 into two
+    lax.scan microbatches measured 323 utt/s vs the monolithic B=64
+    knee's 303 (docs/PERFORMANCE.md, round 5) — so phase 2 auto-raises
+    accumulation instead of inheriting phase 1's (frozen, memory-cheap)
+    monolithic batch and dying."""
+    accum = max(grad_accum, -(-batch_size // max_microbatch))
+    while batch_size % accum:
+        accum += 1
+    return accum
+
+
 def train_two_phase(cfg: Config, *, train_manifest: str, val_manifest: str,
                     phase1_epochs: int = 3, phase2_epochs: int = 2,
                     phase1_lr: float = 5e-4, phase2_lr: float = 1e-5,
@@ -359,7 +376,10 @@ def train_two_phase(cfg: Config, *, train_manifest: str, val_manifest: str,
     that script is not runnable as-is, SURVEY.md §7): phase 1 trains heads
     with frozen encoder backbones at phase1_lr; phase 2 unfreezes the
     backbones and fine-tunes everything at phase2_lr. Each phase writes its
-    own checkpoints under save_dir/phase{1,2}."""
+    own checkpoints under save_dir/phase{1,2}. Phase 2 auto-raises
+    grad_accum to bound the unfrozen microbatch (phase2_grad_accum);
+    gradient accumulation is exactness-tested vs the monolithic batch, so
+    this changes memory and speed, not numerics."""
     import dataclasses as dc
     base = Path(cfg.train.save_dir)
     cfg1 = dc.replace(cfg, train=dc.replace(
@@ -370,7 +390,9 @@ def train_two_phase(cfg: Config, *, train_manifest: str, val_manifest: str,
                progress=progress)
     cfg2 = dc.replace(cfg, train=dc.replace(
         cfg.train, epochs=phase2_epochs, lr=phase2_lr,
-        freeze_backbones=False, save_dir=str(base / "phase2")))
+        freeze_backbones=False, save_dir=str(base / "phase2"),
+        grad_accum=phase2_grad_accum(cfg.train.batch_size,
+                                     cfg.train.grad_accum)))
     # copy: the phase-2 train step donates its input buffers, and phase-1's
     # returned params must stay readable by the caller
     phase2_init = jax.tree.map(lambda x: x.copy(), r1["params"])

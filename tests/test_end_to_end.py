@@ -212,6 +212,26 @@ def test_two_phase_training(synth_data, tmp_path):
     assert (tmp_path / "tp" / "phase2").exists()
 
 
+def test_phase2_grad_accum_bounds_microbatch():
+    """Phase 2 auto-accum: keep the unfrozen microbatch <= 64 (the
+    measured v5e ceiling — docs/PERFORMANCE.md round 5), never lower the
+    configured accumulation, always divide the batch."""
+    cases = [
+        # (batch, configured accum) -> expected
+        (16, 1, 1),     # small batch: untouched
+        (64, 1, 1),     # at the ceiling: untouched
+        (128, 1, 2),    # the monolithic-OOM case: split in two
+        (128, 4, 4),    # user asked for more: keep it
+        (256, 1, 4),    # ceil(256/64)=4
+        (96, 1, 2),     # 96 -> microbatch 48 (2 divides 96)
+        (100, 1, 2),    # ceil(100/64)=2 and 2 | 100
+    ]
+    for batch, accum, want in cases:
+        got = loop.phase2_grad_accum(batch, accum)
+        assert got == want, (batch, accum, got, want)
+        assert batch % got == 0
+
+
 def test_metrics_match_sklearn():
     from sklearn.metrics import f1_score, balanced_accuracy_score
     import multilingual_multimodal_speech_emotion_recognition_tpu.utils.metrics as M
