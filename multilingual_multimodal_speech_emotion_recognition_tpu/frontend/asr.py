@@ -219,9 +219,16 @@ class JaxWhisperASR:
     downstream confidence pipeline treats as words)."""
 
     def __init__(self, params, cfg, *, tokenizer=None,
-                 prefix_ids=None, max_new_tokens: int = 48):
+                 prefix_ids=None, max_new_tokens: int = 48,
+                 int8: bool = False):
         from ..models import whisper as jw
         self._jw = jw
+        if int8:
+            # serving lever: int8 the encoder/decoder matmul stacks —
+            # greedy decode re-reads the whole decoder per token, so
+            # halving weight bytes halves the HBM floor (ops/quant.py)
+            from ..ops import quant as _quant
+            params = _quant.quantize_whisper(params)
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer

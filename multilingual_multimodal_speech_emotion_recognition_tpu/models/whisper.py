@@ -308,8 +308,11 @@ def _attn(p, q_in, kv_in, num_heads, *, bias=None):
 
 def encode(params: dict, cfg: WhisperConfig, mel: Array) -> Array:
     """mel: [B, n_mels, frames] -> [B, frames//2, d_model]."""
-    x = jnp.swapaxes(mel, 1, 2)                         # [B, F, n_mels]
     enc = params["encoder"]
+    # match the param dtype: log_mel_spectrogram emits f32, but a serving
+    # tree may be bf16 (large-v3 is init'd/served in bf16 — f32 params
+    # alone would be 6.2 GiB HBM)
+    x = jnp.swapaxes(mel, 1, 2).astype(enc["conv1"]["kernel"].dtype)
 
     def conv(p, x, stride):
         return jax.lax.conv_general_dilated(

@@ -74,6 +74,27 @@ def _walk(node, min_size: int):
     return node
 
 
+def quantize_whisper(params: dict, *, min_size: int = 512) -> dict:
+    """Int8 the Whisper encoder/decoder transformer matmuls (attention
+    q/k/v/out, cross-attention, FFN — the scan-stacked [L, I, O] kernels).
+    The mel convs, layer norms, positional tables, and the tied token
+    embedding stay float: `_walk` only descends the "layers" stacks, and
+    the logits projection reads the embedding table directly.
+
+    The lever this targets: KV-cached greedy decode is weight-HBM-bound —
+    every generated token re-reads the full decoder stack (large-v3:
+    ~0.9 B layer params ≈ 1.9 GB at bf16 per token), so halving the
+    weight bytes is the serving win, on top of the int8 MXU's 2× TOPs
+    (reference fallback loads large-v3: asr_integration.py:74-81)."""
+    out = dict(params)
+    for key in ("encoder", "decoder"):
+        if key in out and "layers" in out[key]:
+            sub = dict(out[key])
+            sub["layers"] = _walk(sub["layers"], min_size)
+            out[key] = sub
+    return out
+
+
 def quantize_backbones(params: dict, *,
                        subtrees: Iterable[str] = ("audio_backbone",
                                                   "text_backbone"),

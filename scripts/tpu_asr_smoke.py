@@ -52,6 +52,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default=None,
                     help="run a single geometry (e.g. large-v3)")
+    ap.add_argument("--int8", action="store_true",
+                    help="int8 the encoder/decoder matmul stacks "
+                         "(ops/quant.py:quantize_whisper) — the decode is "
+                         "weight-HBM-bound, so halved weight bytes is the "
+                         "serving lever")
     args = ap.parse_args()
 
     import jax
@@ -90,7 +95,8 @@ def main():
                               round(time.perf_counter() - t0, 1),
                               "n_params_m": round(n_params / 1e6, 1),
                               **hbm_stats()}), flush=True)
-            backend = JaxWhisperASR(params, cfg, max_new_tokens=MAX_NEW)
+            backend = JaxWhisperASR(params, cfg, max_new_tokens=MAX_NEW,
+                                    int8=args.int8)
         else:
             torch.manual_seed(3)
             hf = WhisperForConditionalGeneration(HFConfig(
@@ -101,7 +107,8 @@ def main():
                 max_source_positions=1500, max_target_positions=448,
                 decoder_start_token_id=50258, eos_token_id=50257,
                 pad_token_id=50257)).eval()
-            backend = JaxWhisperASR.from_hf_model(hf, max_new_tokens=MAX_NEW)
+            backend = JaxWhisperASR.from_hf_model(hf, max_new_tokens=MAX_NEW,
+                                                  int8=args.int8)
 
         for B in batches:
             wave = jnp.asarray(
@@ -128,6 +135,7 @@ def main():
                 continue
             print(json.dumps({
                 "model": name, "B": B, "max_new_tokens": MAX_NEW,
+                "int8": args.int8,
                 "compile_s": round(compile_s, 1),
                 "decode_ms": round(dt * 1e3, 1),
                 "tokens_per_s": round(B * MAX_NEW / dt, 1),

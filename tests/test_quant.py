@@ -49,6 +49,46 @@ def test_cast_floating_preserves_scales():
     assert cast["lin"]["bias"].dtype == jnp.bfloat16
 
 
+def test_quantize_whisper_decodes():
+    """Int8 Whisper: only the encoder/decoder matmul stacks quantize
+    (convs / embeddings / norms stay float — the logits projection reads
+    the tied embedding table), encode stays close to float, and the
+    KV-cached greedy decode runs end to end."""
+    from multilingual_multimodal_speech_emotion_recognition_tpu.models import (
+        whisper as jw)
+    cfg = jw.WhisperConfig(
+        vocab_size=128, num_mel_bins=80, d_model=64,
+        encoder_layers=2, encoder_attention_heads=2,
+        decoder_layers=2, decoder_attention_heads=2,
+        encoder_ffn_dim=128, decoder_ffn_dim=128,
+        max_source_positions=1500, max_target_positions=64,
+        decoder_start_token_id=1, eos_token_id=2)
+    params = jw.init_whisper(jax.random.key(0), cfg)
+    qp = quant.quantize_whisper(params, min_size=16)
+    assert "kernel_q" in qp["decoder"]["layers"]["self_attn"]["q"]
+    assert "kernel_q" in qp["encoder"]["layers"]["ffn_in"]
+    assert "kernel" in qp["encoder"]["conv1"]          # convs stay float
+    assert qp["decoder"]["embed_tokens"].dtype != jnp.int8
+
+    wave = jnp.asarray(RNG.standard_normal((2, 16000)).astype(np.float32)
+                       * 0.1)
+    mel = jw.log_mel_spectrogram(
+        jnp.pad(wave, ((0, 0), (0, 30 * 16000 - wave.shape[1]))),
+        n_mels=cfg.num_mel_bins)
+    ref_enc = np.asarray(jw.encode(params, cfg, mel), np.float64)
+    got_enc = np.asarray(jw.encode(qp, cfg, mel), np.float64)
+    assert np.isfinite(got_enc).all()
+    nrmse = np.sqrt(((got_enc - ref_enc) ** 2).mean()) / (ref_enc.std() + 1e-9)
+    assert nrmse < 0.1, nrmse
+
+    prefix = jnp.full((2, 1), cfg.decoder_start_token_id, jnp.int32)
+    toks, confs = jw.transcribe_batch(qp, cfg, wave, prefix,
+                                      max_new_tokens=6)
+    assert toks.shape == (2, 6)
+    confs = np.asarray(confs, np.float32)
+    assert np.isfinite(confs).all() and (confs > 0).all()
+
+
 def test_model_forward_quantized_backbones():
     cfg = tiny_config()
     params = mdl.init_model(jax.random.key(0), cfg)

@@ -145,6 +145,24 @@ def test_transcribe_batch_runs_end_to_end(hf_whisper):
     assert (np.asarray(confs) > 0).all() and (np.asarray(confs) <= 1).all()
 
 
+def test_transcribe_batch_bf16_params(hf_whisper):
+    """The serving dtype: a bf16 param tree (how large-v3 is init'd on
+    device — f32 params alone would be 6.2 GiB HBM) must decode; the f32
+    log-mel is cast to the param dtype inside `encode` (the on-chip smoke
+    caught the mismatch, scripts/tpu_asr_smoke.py)."""
+    _, cfg, params = hf_whisper
+    bf16 = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+    x = jnp.asarray(_audio(B=2, seconds=2.0))
+    prefix = jnp.full((2, 1), START, jnp.int32)
+    toks, confs = jw.transcribe_batch(bf16, cfg, x, prefix,
+                                      max_new_tokens=8)
+    assert toks.shape == (2, 8)
+    confs = np.asarray(confs, np.float32)
+    assert np.isfinite(confs).all() and (confs > 0).all()
+
+
 def test_jax_whisper_backend_in_asr_integration(hf_whisper):
     """JaxWhisperASR duck-types the torch backend: the full
     EnhancedASRIntegration pipeline (confidence grouping, calibration,
