@@ -64,6 +64,13 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # Persistent compile cache: the axon relay compiles at 5-300 s per
+    # program, so a warmed cache turns a ~10 min bench into ~1 min. The
+    # numbers are unaffected (compiles happen before the timed loop).
+    from multilingual_multimodal_speech_emotion_recognition_tpu.utils import (
+        runtime as rt)
+    rt.enable_compilation_cache()
+
     from multilingual_multimodal_speech_emotion_recognition_tpu.config import (
         Config, ModelConfig)
     from multilingual_multimodal_speech_emotion_recognition_tpu.eval import (
